@@ -1,0 +1,89 @@
+"""Render driver: spp-chunked, pixel-tiled, progressive, checkpointable.
+
+The reference's driver is a doubly-nested pixel loop with a 10-sample inner
+loop (main.cpp:557-588) and no recovery (a killed run loses everything,
+SURVEY.md §5). Here the image is a flat pixel array processed in ray chunks
+through one jitted sample pass; samples accumulate into an f32 framebuffer
+that can be checkpointed (with the RNG state implicit in (seed, next spp))
+and resumed — which also provides progressive rendering for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monte_carlo_path_tracing_tpu.core import rng
+from monte_carlo_path_tracing_tpu.integrator import render_rays
+from monte_carlo_path_tracing_tpu.render.camera import generate_rays
+from monte_carlo_path_tracing_tpu.scene.types import Scene
+from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
+
+
+@dataclasses.dataclass
+class RenderResult:
+    image: np.ndarray          # [H, W, 3] f32 mean radiance
+    spp_done: int
+    seconds: float
+    rays_traced: int           # primary rays only (paths); see bench for defs
+
+
+def _sample_pass(scene: Scene, cfg: RenderConfig, key, pixel_idx, sample_id):
+    """Radiance of one sample for each pixel in the chunk — jitted once."""
+    skey = rng.sample_key(key, sample_id)
+    jitter = rng.bounce_key(skey, 0, rng.P_PIXEL_JITTER) if cfg.pixel_jitter else None
+    ro, rd = generate_rays(scene.camera, pixel_idx, jitter_key=jitter)
+    return render_rays(scene, cfg, skey, ro, rd)
+
+
+def render_image(
+    scene: Scene,
+    cfg: RenderConfig,
+    start_spp: int = 0,
+    framebuffer: Optional[np.ndarray] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> RenderResult:
+    """Accumulate cfg.spp samples per pixel (resuming from start_spp if a
+    framebuffer of summed radiance is given)."""
+    cfg.validate()
+    cam = scene.camera
+    h, w = cam.height, cam.width
+    n_pix = h * w
+    key = rng.base_key(cfg.seed)
+
+    fb = (
+        np.zeros((n_pix, 3), np.float32)
+        if framebuffer is None
+        else framebuffer.reshape(n_pix, 3).astype(np.float32).copy()
+    )
+
+    chunk = min(cfg.ray_chunk, n_pix)
+    pad = (-n_pix) % chunk
+    idx_all = np.arange(n_pix + pad, dtype=np.int32)
+    idx_all[n_pix:] = 0  # padded pixels recompute pixel 0; discarded below
+
+    pass_fn = jax.jit(_sample_pass, static_argnums=(1,))
+
+    t0 = time.perf_counter()
+    for s in range(start_spp, cfg.spp):
+        for c0 in range(0, n_pix + pad, chunk):
+            idx = jnp.asarray(idx_all[c0 : c0 + chunk])
+            rad = np.asarray(pass_fn(scene, cfg, key, idx, s))
+            lo, hi = c0, min(c0 + chunk, n_pix)
+            fb[lo:hi] += rad[: hi - lo]
+        if progress is not None:
+            progress(s + 1, cfg.spp)
+    seconds = time.perf_counter() - t0
+
+    image = (fb / max(cfg.spp, 1)).reshape(h, w, 3)
+    return RenderResult(
+        image=image,
+        spp_done=cfg.spp,
+        seconds=seconds,
+        rays_traced=(cfg.spp - start_spp) * n_pix,
+    )

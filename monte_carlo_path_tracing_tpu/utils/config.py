@@ -1,0 +1,80 @@
+"""Render configuration.
+
+The reference has no config system: estimator choice is a code edit
+(main.cpp:575), P_RR / spp / resolution / tone map / camera are compile-time
+constants (SURVEY.md §5 "Config / flag system"). Here every one of those
+knobs is a field on a single frozen dataclass, shared by the CLI, the tests,
+the benchmarks, and the distributed runner.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Estimators (reference main.cpp:269-494)
+EST_BRDF = "brdf"      # shade_with_brdf  (main.cpp:348-399)
+EST_SPLIT = "split"    # shade            (main.cpp:269-344)
+EST_MIS = "mis"        # shade_with_mis   (main.cpp:402-494) — flagship
+ESTIMATORS = (EST_BRDF, EST_SPLIT, EST_MIS)
+
+# Light samplers (reference Mylight.cpp:102-160 / 163-493)
+LS_UNIFORM_AREA = "uniform_area"
+LS_SPHERICAL = "spherical_triangle"
+LIGHT_SAMPLERS = (LS_UNIFORM_AREA, LS_SPHERICAL)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Image
+    width: int = 1280
+    height: int = 720           # reference main.cpp:539 (1280x720)
+    spp: int = 10               # reference main.cpp:567
+
+    # Estimator
+    estimator: str = EST_MIS
+    light_sampler: str = LS_SPHERICAL
+    rr_prob: float = 0.6        # survival probability P_RR (main.cpp:321,375,429)
+    max_depth: int = 32         # wavefront bound on the RR chain; P(depth>32)=0.6^32~8e-8
+
+    # Tone map (main.cpp:583)
+    max_radiance: float = 380.0
+    gamma: float = 0.25
+
+    # RNG
+    seed: int = 0
+
+    # Sub-pixel jitter for antialiasing. The reference has none — all spp of
+    # a pixel re-trace one direction (main.cpp:563-567) — so default off.
+    pixel_jitter: bool = False
+
+    # Quirk-compat flags (SURVEY.md §7 quirks registry). Defaults are the
+    # measure-correct / unbiased choices; flip them on to reproduce the
+    # reference's behaviour bit-for-bit for golden comparisons.
+    fov_bug_compat: bool = False     # Q2: degrees-as-radians half-fov
+    measure_bug_compat: bool = False  # Q3: area-form G with solid-angle pdf in `shade`
+    branch_pdf_compat: bool = False   # Q4: divide by branch pdf, not mixture pdf
+    ref_mis_weights: bool = False     # Q11: reference's nearest-light-denominator MIS
+
+    # Wavefront / performance
+    ray_chunk: int = 1 << 16    # rays in flight per wavefront batch
+    use_pallas: Optional[bool] = None   # None = auto (pallas on TPU, jnp elsewhere)
+
+    # Distribution
+    mesh_shape: Tuple[int, ...] = ()    # () = single device
+    mesh_axes: Tuple[str, ...] = ("tiles",)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.estimator not in ESTIMATORS:
+            raise ValueError(f"estimator must be one of {ESTIMATORS}, got {self.estimator}")
+        if self.light_sampler not in LIGHT_SAMPLERS:
+            raise ValueError(
+                f"light_sampler must be one of {LIGHT_SAMPLERS}, got {self.light_sampler}"
+            )
+        if not (0.0 < self.rr_prob < 1.0):
+            raise ValueError("rr_prob must be in (0, 1)")
+        if self.max_depth < 1:
+            raise ValueError("max_depth must be >= 1")

@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import monte_carlo_path_tracing_tpu.ops.intersect as ops
+from monte_carlo_path_tracing_tpu.ops import intersect_ref as ir
+
+
+def _random_tris(rng, T):
+    v0 = rng.uniform(-2, 2, size=(T, 3)).astype(np.float32)
+    e1 = rng.normal(size=(T, 3)).astype(np.float32)
+    e2 = rng.normal(size=(T, 3)).astype(np.float32)
+    return jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2)
+
+
+def _random_rays(rng, N):
+    ro = rng.uniform(-4, 4, size=(N, 3)).astype(np.float32)
+    rd = rng.normal(size=(N, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)
+
+
+def test_single_triangle_analytic():
+    # Unit triangle in z=0 plane; ray straight down.
+    v0 = jnp.asarray([[0.0, 0.0, 0.0]])
+    e1 = jnp.asarray([[1.0, 0.0, 0.0]])
+    e2 = jnp.asarray([[0.0, 1.0, 0.0]])
+    ids = jnp.asarray([7], jnp.int32)
+    ro = jnp.asarray([[0.25, 0.25, 3.0], [0.9, 0.9, 3.0], [0.25, 0.25, -3.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]] * 3)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    hit = ir.intersect_matmul(ro, rd, W, ids)
+    assert bool(hit.valid[0]) and not bool(hit.valid[1]) and not bool(hit.valid[2])
+    np.testing.assert_allclose(float(hit.t[0]), 3.0, rtol=1e-5)
+    np.testing.assert_allclose(float(hit.u[0]), 0.25, atol=1e-5)
+    np.testing.assert_allclose(float(hit.v[0]), 0.25, atol=1e-5)
+    assert int(hit.tri_id[0]) == 7
+
+
+def test_matmul_matches_oracle(rng_np):
+    T, N = 263, 511  # deliberately unaligned
+    v0, e1, e2 = _random_tris(rng_np, T)
+    ro, rd = _random_rays(rng_np, N)
+    ids = jnp.arange(T, dtype=jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    hm = ir.intersect_matmul(ro, rd, W, ids, block=128)
+    ho = ir.intersect_oracle(ro, rd, v0, e1, e2, ids)
+    np.testing.assert_array_equal(np.asarray(hm.valid), np.asarray(ho.valid))
+    m = np.asarray(hm.valid)
+    # Same nearest triangle (allow fp ties within 1e-4 relative t)
+    tm, to = np.asarray(hm.t)[m], np.asarray(ho.t)[m]
+    np.testing.assert_allclose(tm, to, rtol=1e-3)
+    same = np.asarray(hm.tri_id)[m] == np.asarray(ho.tri_id)[m]
+    assert same.mean() > 0.995  # rare fp ties may pick the other of two hits
+    np.testing.assert_allclose(np.asarray(hm.u)[m][same], np.asarray(ho.u)[m][same], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(hm.v)[m][same], np.asarray(ho.v)[m][same], atol=2e-3)
+
+
+def test_exclusion():
+    v0 = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+    e1 = jnp.asarray([[1.0, 0.0, 0.0]] * 2)
+    e2 = jnp.asarray([[0.0, 1.0, 0.0]] * 2)
+    ids = jnp.asarray([0, 1], jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    ro = jnp.asarray([[0.2, 0.2, 1.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]])
+    h0 = ir.intersect_matmul(ro, rd, W, ids)
+    assert int(h0.tri_id[0]) == 0
+    h1 = ir.intersect_matmul(ro, rd, W, ids, exclude_id=jnp.asarray([0], jnp.int32))
+    assert int(h1.tri_id[0]) == 1
+    np.testing.assert_allclose(float(h1.t[0]), 2.0, rtol=1e-5)
+
+
+def test_accel_build_and_dispatch(cornell_scene):
+    accel = ops.build_accel(cornell_scene)
+    assert accel.W.shape[0] % ops.TRI_BLOCK == 0
+    ro = jnp.asarray([[0.0, 1.0, 3.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = ops.intersect(accel, ro, rd, impl="matmul")
+    assert bool(hit.valid[0])  # hits the back wall
+    # light-only accel reports global ids of emissive tris
+    lacc = ops.build_light_accel(cornell_scene)
+    up = jnp.asarray([[0.0, 1.0, 0.0]])
+    hit_l = ops.intersect(lacc, jnp.asarray([[0.0, 1.0, 0.0]]), up, impl="matmul")
+    assert bool(hit_l.valid[0])
+    assert bool(cornell_scene.is_light[hit_l.tri_id[0]])
+
+
+def test_grad_does_not_flow_through_accel(cornell_scene):
+    # Geometry packing is stop_gradiented: building an accel inside a
+    # differentiated function must not produce NaNs or geometry grads.
+    def f(kd):
+        sc = cornell_scene.with_materials(
+            cornell_scene.materials.__class__(
+                kd=kd,
+                ks=cornell_scene.materials.ks,
+                ns=cornell_scene.materials.ns,
+                emission=cornell_scene.materials.emission,
+            )
+        )
+        accel = ops.build_accel(sc)
+        return jnp.sum(accel.W) + jnp.sum(kd)
+
+    g = jax.grad(f)(cornell_scene.materials.kd)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
