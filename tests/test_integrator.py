@@ -1,0 +1,99 @@
+import dataclasses
+
+import numpy as np
+import pytest
+
+from monte_carlo_path_tracing_tpu.render.renderer import render_image
+from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
+
+
+def _small(scene, wh=32):
+    cam = dataclasses.replace(scene.camera, width=wh, height=wh)
+    return dataclasses.replace(scene, camera=cam)
+
+
+def _cfg(**kw):
+    base = dict(
+        width=32, height=32, spp=32, max_depth=8, ray_chunk=1024, seed=5,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def cornell32(request):
+    scene = request.getfixturevalue("cornell_scene")
+    return _small(scene)
+
+
+def test_estimator_consistency(cornell32):
+    """All unbiased estimator/sampler combos estimate the same image mean.
+
+    This is the deepest correctness check we have: brdf-only, split (with
+    both light samplers) and MIS (both samplers) are five independent
+    estimators of the same integral (reference README.md §9's experiment,
+    run as numbers instead of eyeballs).
+    """
+    means = {}
+    for est, sampler in [
+        ("brdf", "spherical_triangle"),
+        ("split", "uniform_area"),
+        ("split", "spherical_triangle"),
+        ("mis", "uniform_area"),
+        ("mis", "spherical_triangle"),
+    ]:
+        cfg = _cfg(estimator=est, light_sampler=sampler)
+        r = render_image(cornell32, cfg)
+        assert np.isfinite(r.image).all(), (est, sampler)
+        means[(est, sampler)] = float(r.image.mean())
+
+    vals = np.asarray(list(means.values()))
+    spread = vals.max() / vals.min()
+    assert spread < 1.12, means  # ~few % MC noise at this sample count
+
+
+def test_seed_determinism(cornell32):
+    cfg = _cfg(estimator="mis", light_sampler="spherical_triangle", spp=2)
+    a = render_image(cornell32, cfg).image
+    b = render_image(cornell32, cfg).image
+    np.testing.assert_array_equal(a, b)
+    c = render_image(cornell32, cfg.replace(seed=9)).image
+    assert np.abs(a - c).max() > 0  # different stream
+
+
+def test_depth_truncation_small_bias(cornell32):
+    """max_depth=16 vs 6: with RR 0.6 the tail beyond 6 bounces is small
+    but nonzero; the two must agree within a few percent."""
+    cfg6 = _cfg(estimator="brdf", max_depth=6, spp=48)
+    cfg16 = _cfg(estimator="brdf", max_depth=16, spp=48)
+    m6 = float(render_image(cornell32, cfg6).image.mean())
+    m16 = float(render_image(cornell32, cfg16).image.mean())
+    assert abs(m16 - m6) / m16 < 0.08, (m6, m16)
+
+
+def test_emissive_directly_visible(cornell32):
+    """Pixels that see the ceiling light read its radiance exactly
+    (lights are pure emitters, Q5)."""
+    cfg = _cfg(estimator="mis", spp=1, light_sampler="spherical_triangle")
+    img = render_image(cornell32, cfg).image
+    # the light has radiance (34, 24, 8); some pixel must see it exactly
+    hits = np.all(np.abs(img - np.asarray([34.0, 24.0, 8.0])) < 1e-3, axis=-1)
+    assert hits.sum() >= 1
+
+
+def test_ref_mis_weights_mode_runs(cornell32):
+    cfg = _cfg(
+        estimator="mis", light_sampler="spherical_triangle",
+        ref_mis_weights=True, spp=4,
+    )
+    img = render_image(cornell32, cfg).image
+    assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_bug_compat_flags_run(cornell32):
+    cfg = _cfg(
+        estimator="split", light_sampler="spherical_triangle",
+        measure_bug_compat=True, branch_pdf_compat=True, spp=4,
+    )
+    img = render_image(cornell32, cfg).image
+    assert np.isfinite(img).all() and img.mean() > 0
