@@ -1,0 +1,99 @@
+"""Sharded rendering and the distributed differentiable train step.
+
+Two composition styles, both idiomatic jax.sharding:
+
+- :func:`render_rays_sharded` — automatic partitioning: rays carry a
+  NamedSharding over the ``tiles`` axis, the scene is replicated, and XLA
+  propagates the sharding through the (purely per-ray) wavefront loop. No
+  collectives are needed in the forward pass because rays never communicate.
+
+- :func:`make_train_step` — explicit shard_map for the inverse-rendering
+  step: rays sharded over ``tiles``, sample streams over ``spp``; the
+  per-shard material gradient is all-reduced with ``psum`` over BOTH axes
+  (the ICI ride), so every device leaves the step with identical updated
+  materials. This is the renderer's analogue of data-parallel training with
+  replicated parameters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from monte_carlo_path_tracing_tpu.integrator import render_rays
+from monte_carlo_path_tracing_tpu.parallel.mesh import (
+    AXIS_SPP, AXIS_TILES, Mesh, ray_sharding, replicated,
+)
+from monte_carlo_path_tracing_tpu.scene.types import Materials, Scene
+from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
+
+
+def render_rays_sharded(
+    scene: Scene, cfg: RenderConfig, key, ro, rd, mesh: Mesh
+) -> jnp.ndarray:
+    """Radiance [N,3] with rays sharded over the mesh's `tiles` axis."""
+    rs = ray_sharding(mesh)
+    rep = replicated(mesh)
+    ro = jax.device_put(ro, rs)
+    rd = jax.device_put(rd, rs)
+    scene = jax.device_put(scene, rep)
+
+    fn = jax.jit(
+        partial(render_rays, cfg=cfg),
+        static_argnames=(),
+        out_shardings=rs,
+    )
+    return fn(scene, key=key, ro=ro, rd=rd)
+
+
+def make_train_step(scene: Scene, cfg: RenderConfig, mesh: Mesh, lr: float = 2e-2):
+    """Build a jitted distributed inverse-rendering step.
+
+    step(materials, key, ro, rd, target) -> (new_materials, loss)
+
+    ro/rd/target are globally laid out [N, 3] and sharded over ``tiles``;
+    each ``spp`` mesh slice renders an independent sample stream of the same
+    rays (key folded by spp-coordinate) and radiance is pmean'd over
+    ``spp``. The L2 loss against ``target`` is psum'd over ``tiles`` and
+    material grads over both axes.
+    """
+    has_spp = AXIS_SPP in mesh.axis_names
+    axes = (AXIS_TILES, AXIS_SPP) if has_spp else (AXIS_TILES,)
+
+    def shard_loss(materials: Materials, key, ro, rd, target):
+        sc = scene.with_materials(materials)
+        if has_spp:
+            key = jax.random.fold_in(key, jax.lax.axis_index(AXIS_SPP))
+        rad = render_rays(sc, cfg, key, ro, rd)
+        if has_spp:
+            rad = jax.lax.pmean(rad, AXIS_SPP)
+        # mean L2 over the *global* ray set: local sum, psum, global count.
+        local = jnp.sum((rad - target) ** 2)
+        n_local = jnp.asarray(ro.shape[0], jnp.float32)
+        total = jax.lax.psum(local, AXIS_TILES)
+        count = jax.lax.psum(n_local, AXIS_TILES) * 3.0
+        return total / count
+
+    def shard_step(materials, key, ro, rd, target):
+        loss, grads = jax.value_and_grad(shard_loss)(materials, key, ro, rd, target)
+        # all-reduce grads over every mesh axis -> replicated update
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, axes), grads)
+        new = jax.tree.map(lambda p, g: p - lr * g, materials, grads)
+        return new, loss
+
+    in_specs = (
+        P(),                # materials replicated
+        P(),                # key replicated
+        P(AXIS_TILES),      # ro
+        P(AXIS_TILES),      # rd
+        P(AXIS_TILES),      # target
+    )
+    out_specs = (P(), P())
+    step = jax.shard_map(
+        shard_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(step)
