@@ -1,0 +1,94 @@
+"""Inverse-rendering harness (BASELINE configs[3]): recover Phong
+rho_d/rho_s/shininess and light radiance from a target image by
+pixel-gradient descent."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from monte_carlo_path_tracing_tpu.diff import grad as dgrad
+from monte_carlo_path_tracing_tpu.integrator import render_rays
+from monte_carlo_path_tracing_tpu.render.camera import generate_rays
+from monte_carlo_path_tracing_tpu.scene.types import Materials, Scene
+from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
+
+
+@dataclasses.dataclass
+class InverseResult:
+    materials: Materials
+    losses: list
+    steps: int
+
+
+def recover_materials(
+    scene_true: Scene,
+    materials_init: Materials,
+    cfg: RenderConfig,
+    steps: int = 100,
+    lr: float = 5e-2,
+    rays_per_step: Optional[int] = None,
+    seed: int = 0,
+    progress: Optional[Callable[[int, float], None]] = None,
+    optimize: tuple = ("kd", "ks", "ns", "emission"),
+) -> InverseResult:
+    """Gradient-descend latent materials so renders match the true scene.
+
+    The target is rendered per-step with a *fresh* sample stream from the
+    true materials (stochastic targets: unbiased gradient through MC noise).
+    Fields not named in `optimize` are frozen via gradient masking.
+    """
+    cam = scene_true.camera
+    n_pix = cam.width * cam.height
+    n_rays = min(rays_per_step or n_pix, n_pix)
+
+    optimizer = optax.adam(lr)
+    lm = dgrad.to_latent(materials_init)
+    opt_state = optimizer.init(lm)
+    key = jax.random.key(seed)
+
+    mask = dgrad.LatentMaterials(
+        kd_l=jnp.float32("kd" in optimize),
+        ks_l=jnp.float32("ks" in optimize),
+        ns_l=jnp.float32("ns" in optimize),
+        emission_l=jnp.float32("emission" in optimize),
+    )
+
+    def unbiased_loss(lm, key, ro, rd, target):
+        """Two independent render streams make E[grad] the gradient of
+        ||E[render] - E[target]||^2 — the single-stream MSE's extra
+        d(Var)/d(theta) term (which drags materials toward low-variance
+        dark renders at low spp) cancels in the cross product."""
+        sc = scene_true.with_materials(dgrad.from_latent(lm))
+        k1, k2 = jax.random.split(key)
+        r1 = render_rays(sc, cfg, k1, ro, rd)
+        r2 = render_rays(sc, cfg, k2, ro, rd)
+        return jnp.mean((r1 - target) * (r2 - target))
+
+    @jax.jit
+    def step(lm, opt_state, key, idx):
+        ro, rd = generate_rays(cam, idx)
+        k_t, k_r = jax.random.split(key)
+        target = render_rays(scene_true, cfg, k_t, ro, rd)
+        loss, g = jax.value_and_grad(unbiased_loss)(lm, k_r, ro, rd, target)
+        g = jax.tree.map(lambda gi, mi: gi * mi, g, mask)
+        updates, opt_state = optimizer.update(g, opt_state, lm)
+        lm = optax.apply_updates(lm, updates)
+        return lm, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        key, k_step, k_pix = jax.random.split(key, 3)
+        idx = jax.random.randint(k_pix, (n_rays,), 0, n_pix, dtype=jnp.int32)
+        lm, opt_state, loss = step(lm, opt_state, k_step, idx)
+        losses.append(float(loss))
+        if progress is not None:
+            progress(i, losses[-1])
+
+    return InverseResult(
+        materials=dgrad.from_latent(lm), losses=losses, steps=steps
+    )

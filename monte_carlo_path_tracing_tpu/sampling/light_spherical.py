@@ -171,7 +171,11 @@ def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
 
     l_sum = radiance_sum(scene.light_emission())
     pdf = jnp.where(has, l_sum[lidx] / jnp.maximum(weights_sum, 1e-30), 1.0)
-    coord = jnp.where(has[:, None], x1 + P * t[:, None], x1 - n)
+    # Detached sampling: the sampled point is a constant of differentiation
+    # (see sampling/phong.py); emission stays attached for d/d(radiance).
+    coord = jax.lax.stop_gradient(
+        jnp.where(has[:, None], x1 + P * t[:, None], x1 - n)
+    )
 
     return (
         LightSample(

@@ -131,7 +131,11 @@ def sample_brdf(
     r = vm.reflect(wo, n)
     axis = jnp.where(pick_spec[:, None], r, n)
     t, b = vm.orthonormal_basis(axis)
-    wi = vm.from_local(local, t, b, axis)
+    # Detached-sampling estimator: the sampled direction is a constant of
+    # differentiation (gradients flow through f_r/emission/cosines evaluated
+    # AT the sample, not through the warp). Also severs the sqrt(1-x^2)
+    # backward paths that blow up at lobe edges.
+    wi = jax.lax.stop_gradient(vm.from_local(local, t, b, axis))
 
     if branch_pdf_compat:
         # Reference behaviour (Q4): pdf of the chosen branch only.
