@@ -62,21 +62,32 @@ def render_rays(
     key: jax.Array,
     ro: jnp.ndarray,
     rd: jnp.ndarray,
-) -> jnp.ndarray:
-    """Estimate radiance [N,3] arriving at ray origins along -rd."""
+    with_stats: bool = False,
+):
+    """Estimate radiance [N,3] arriving at ray origins along -rd.
+
+    with_stats=True additionally returns {"rays": scalar} — the number of
+    rays actually traced (extend + shadow, counting only wavefront lanes
+    that were live at each trace), the honest numerator of Mrays/s.
+    """
     accel = ops_intersect.build_accel(scene)
     tri_to_light = common.light_index_table(scene)
     args = (scene, cfg, accel, tri_to_light, key, ro, rd)
     if cfg.estimator == EST_BRDF:
-        return _run_brdf(*args)
-    if cfg.estimator == EST_SPLIT:
-        return _run_split(*args)
-    if cfg.estimator == EST_MIS:
+        out = _run_brdf(*args)
+    elif cfg.estimator == EST_SPLIT:
+        out = _run_split(*args)
+    elif cfg.estimator == EST_MIS:
         light_accel = (
             ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
         )
-        return _run_mis(*args, light_accel=light_accel)
-    raise ValueError(f"unknown estimator {cfg.estimator!r}")
+        out = _run_mis(*args, light_accel=light_accel)
+    else:
+        raise ValueError(f"unknown estimator {cfg.estimator!r}")
+    L, nrays = out
+    if with_stats:
+        return L, {"rays": nrays}
+    return L
 
 
 def _trace(cfg, accel, ro, rd, exclude):
@@ -91,8 +102,9 @@ def _run_brdf(scene, cfg, accel, tri_to_light, key, ro, rd):
     N = ro.shape[0]
 
     def body(d, st):
-        active, ro, rd, excl, tp, L = st
+        active, ro, rd, excl, tp, L, nrays = st
         hit = _trace(cfg, accel, ro, rd, excl)
+        nrays = nrays + jnp.sum(active.astype(jnp.int32))
         si = common.gather_interaction(scene, hit, rd, tri_to_light)
         alive = active & hit.valid & si.front            # backface => 0 (Q9)
 
@@ -118,15 +130,15 @@ def _run_brdf(scene, cfg, accel, tri_to_light, key, ro, rd):
         f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
         scale = jnp.maximum(cos_i, 0.0) / _SG(jnp.maximum(bs.pdf, 1e-12)) * w_rr
         tp = jnp.where(alive[:, None], tp * f * scale[:, None], tp)
-        return (alive, si.p, bs.wi, hit.tri_id, tp, L)
+        return (alive, si.p, bs.wi, hit.tri_id, tp, L, nrays)
 
     init = (
         jnp.ones((N,), bool), ro, rd,
         jnp.full((N,), ops_intersect.NO_HIT, jnp.int32),
-        jnp.ones((N, 3)), jnp.zeros((N, 3)),
+        jnp.ones((N, 3)), jnp.zeros((N, 3)), jnp.zeros((), jnp.int32),
     )
     st = jax.lax.fori_loop(0, cfg.max_depth, body, init)
-    return st[5]
+    return st[5], st[6]
 
 
 # ---------------------------------------------------------------------------
@@ -177,8 +189,9 @@ def _run_split(scene, cfg, accel, tri_to_light, key, ro, rd):
     N = ro.shape[0]
 
     def body(d, st):
-        active, ro, rd, excl, tp, L = st
+        active, ro, rd, excl, tp, L, nrays = st
         hit = _trace(cfg, accel, ro, rd, excl)
+        nrays = nrays + jnp.sum(active.astype(jnp.int32))
         si = common.gather_interaction(scene, hit, rd, tri_to_light)
         alive = active & hit.valid & si.front
 
@@ -193,6 +206,7 @@ def _run_split(scene, cfg, accel, tri_to_light, key, ro, rd):
         ls, _ = _sample_light(
             rng.bounce_key(key, d, rng.P_LIGHT_SELECT), scene, cfg, si
         )
+        nrays = nrays + jnp.sum(alive.astype(jnp.int32))  # shadow rays
         L = L + tp * _direct_term(scene, cfg, accel, si, ls, alive, d, key)
 
         # RR gates only the indirect continuation (main.cpp:321-329).
@@ -212,15 +226,15 @@ def _run_split(scene, cfg, accel, tri_to_light, key, ro, rd):
         f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
         scale = jnp.maximum(cos_i, 0.0) / _SG(jnp.maximum(bs.pdf, 1e-12)) * w_rr
         tp = jnp.where(alive[:, None], tp * f * scale[:, None], tp)
-        return (alive, si.p, bs.wi, hit.tri_id, tp, L)
+        return (alive, si.p, bs.wi, hit.tri_id, tp, L, nrays)
 
     init = (
         jnp.ones((N,), bool), ro, rd,
         jnp.full((N,), ops_intersect.NO_HIT, jnp.int32),
-        jnp.ones((N, 3)), jnp.zeros((N, 3)),
+        jnp.ones((N, 3)), jnp.zeros((N, 3)), jnp.zeros((), jnp.int32),
     )
     st = jax.lax.fori_loop(0, cfg.max_depth, body, init)
-    return st[5]
+    return st[5], st[6]
 
 
 # ---------------------------------------------------------------------------
@@ -276,8 +290,9 @@ def _run_mis(scene, cfg, accel, tri_to_light, key, ro, rd, light_accel=None):
 
     def body(d, st):
         (active, ro, rd, excl, tp, L,
-         prev_pb, prev_p, prev_ns, prev_wsum) = st
+         prev_pb, prev_p, prev_ns, prev_wsum, nrays) = st
         hit = _trace(cfg, accel, ro, rd, excl)
+        nrays = nrays + jnp.sum(active.astype(jnp.int32))
         si = common.gather_interaction(scene, hit, rd, tri_to_light)
         alive = active & hit.valid & si.front            # backface => 0 (main.cpp:410-413)
 
@@ -314,6 +329,7 @@ def _run_mis(scene, cfg, accel, tri_to_light, key, ro, rd, light_accel=None):
                 rng.bounce_key(key, d, rng.P_LIGHT_SELECT), scene, N
             )
             wsum = jnp.zeros((N,))
+        nrays = nrays + jnp.sum(alive.astype(jnp.int32))  # shadow rays
         L = L + tp * _nee_term(scene, cfg, accel, si, ls, wsum, alive)
 
         # BRDF strategy: sample, weight, continue (main.cpp:471-491).
@@ -356,14 +372,14 @@ def _run_mis(scene, cfg, accel, tri_to_light, key, ro, rd, light_accel=None):
 
         return (
             alive, si.p, bs.wi, hit.tri_id, tp, L,
-            _SG(bs.pdf), si.p, si.ns, wsum,
+            _SG(bs.pdf), si.p, si.ns, wsum, nrays,
         )
 
     init = (
         jnp.ones((N,), bool), ro, rd,
         jnp.full((N,), ops_intersect.NO_HIT, jnp.int32),
         jnp.ones((N, 3)), jnp.zeros((N, 3)),
-        jnp.ones((N,)), ro, rd, jnp.zeros((N,)),
+        jnp.ones((N,)), ro, rd, jnp.zeros((N,)), jnp.zeros((), jnp.int32),
     )
     st = jax.lax.fori_loop(0, cfg.max_depth, body, init)
-    return st[5]
+    return st[5], st[10]

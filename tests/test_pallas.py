@@ -1,0 +1,53 @@
+import jax.numpy as jnp
+import numpy as np
+
+from monte_carlo_path_tracing_tpu.ops import intersect_pallas as ip
+from monte_carlo_path_tracing_tpu.ops import intersect_ref as ir
+
+
+def _random_case(rng, T, N):
+    v0 = jnp.asarray(rng.uniform(-2, 2, size=(T, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.normal(size=(T, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.normal(size=(T, 3)), jnp.float32)
+    ro = jnp.asarray(rng.uniform(-4, 4, size=(N, 3)), jnp.float32)
+    rd = rng.normal(size=(N, 3))
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True), jnp.float32)
+    return v0, e1, e2, ro, rd
+
+
+def test_pallas_matches_matmul_interpret(rng_np):
+    """Interpret-mode kernel vs the jnp matmul reference (identical math)."""
+    T, N = 700, 513  # unaligned on purpose
+    v0, e1, e2, ro, rd = _random_case(rng_np, T, N)
+    ids = jnp.arange(T, dtype=jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    excl = jnp.where(
+        jnp.arange(N, dtype=jnp.int32) % 7 == 0,
+        jnp.arange(N, dtype=jnp.int32) % T,
+        jnp.int32(-1),
+    )
+    hp = ip.intersect_pallas(ro, rd, W, ids, exclude_id=excl)
+    hm = ir.intersect_matmul(ro, rd, W, ids, exclude_id=excl)
+
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hm.valid))
+    m = np.asarray(hm.valid)
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hm.t)[m], rtol=1e-4)
+    same = np.asarray(hp.tri_id)[m] == np.asarray(hm.tri_id)[m]
+    assert same.mean() > 0.995
+    np.testing.assert_allclose(
+        np.asarray(hp.u)[m][same], np.asarray(hm.u)[m][same], atol=2e-3
+    )
+
+
+def test_pallas_single_triangle():
+    v0 = jnp.asarray([[0.0, 0.0, 0.0]])
+    e1 = jnp.asarray([[1.0, 0.0, 0.0]])
+    e2 = jnp.asarray([[0.0, 1.0, 0.0]])
+    ids = jnp.asarray([3], jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    ro = jnp.asarray([[0.25, 0.25, 2.0], [5.0, 5.0, 2.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]] * 2)
+    h = ip.intersect_pallas(ro, rd, W, ids)
+    assert bool(h.valid[0]) and not bool(h.valid[1])
+    np.testing.assert_allclose(float(h.t[0]), 2.0, rtol=1e-5)
+    assert int(h.tri_id[0]) == 3
