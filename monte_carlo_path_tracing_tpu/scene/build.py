@@ -126,9 +126,18 @@ def build_scene(
 
 
 def load_scene(obj_path: str, xml_path: Optional[str] = None, **kw) -> Scene:
-    """Load a cg23 scene: ``<name>.obj`` (+``.mtl`` via mtllib) + ``<name>.xml``."""
+    """Load a cg23 scene: ``<name>.obj`` (+``.mtl`` via mtllib) + ``<name>.xml``.
+
+    Uses the native C++ loader (native/loader.cpp via ctypes) when built,
+    falling back to the pure-Python parser.
+    """
     if xml_path is None:
         xml_path = os.path.splitext(obj_path)[0] + ".xml"
-    mesh = parse_obj(obj_path)
+    from monte_carlo_path_tracing_tpu.scene import native_loader
+
+    if native_loader.native_available():
+        mesh = native_loader.parse_obj_native(obj_path)
+    else:
+        mesh = parse_obj(obj_path)
     scene_xml = parse_scene_xml(xml_path)
     return build_scene(mesh, scene_xml, **kw)
