@@ -1,0 +1,264 @@
+"""Path-regeneration wavefront renderer (forward/bench fast path).
+
+The fixed-depth wavefront in wavefront.py runs max_depth iterations with
+lanes dying off geometrically (RR 0.6): average live occupancy over a
+32-deep loop is ~8%, i.e. >10x wasted vector work. This module keeps every
+lane busy: when a path terminates, its lane immediately pulls the next
+(pixel, spp) sample from a global counter and restarts as a primary ray —
+the standard wavefront-regeneration scheme of GPU path tracing (see
+PAPERS.md, "Megakernel vs Wavefront GPU Path Tracing"), expressed TPU-
+natively as a `lax.while_loop` over fully-dense lane arrays with a
+scatter-add into the framebuffer at path death.
+
+Estimator semantics are identical to wavefront._run_mis / _run_split /
+_run_brdf (same NEE/MIS weights, RR, quirk flags); RNG streams are keyed
+per *sample id* (base key folded with the global sample index, then bounce
+and purpose), so the estimate is deterministic for a given (seed, lane
+count) and independent of chunk scheduling.
+
+This path is forward-only (while_loop is not reverse differentiable); the
+fixed-depth loop remains the differentiation path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_path_tracing_tpu.core import rng, vecmath as vm
+from monte_carlo_path_tracing_tpu.integrator import common
+from monte_carlo_path_tracing_tpu.integrator.wavefront import (
+    _impl, _light_pdf_of_hit, _nee_term, _sample_light,
+)
+from monte_carlo_path_tracing_tpu.ops import intersect as ops_intersect
+from monte_carlo_path_tracing_tpu.render.camera import camera_basis, pixel_len
+from monte_carlo_path_tracing_tpu.sampling import light_spherical, light_uniform, phong
+from monte_carlo_path_tracing_tpu.scene.types import Scene
+from monte_carlo_path_tracing_tpu.utils.config import (
+    EST_BRDF, EST_MIS, EST_SPLIT, LS_SPHERICAL, RenderConfig,
+)
+
+_SG = jax.lax.stop_gradient
+
+
+def _step_key(base_key, it, purpose):
+    """Key for one (iteration, purpose) batch draw. Lane decorrelation comes
+    from the batch axis; iteration indexing keeps the run deterministic for
+    a given (seed, lane count)."""
+    return jax.random.fold_in(jax.random.fold_in(base_key, it), purpose)
+
+
+def render_regen(
+    scene: Scene,
+    cfg: RenderConfig,
+    base_key: jax.Array,
+    n_pix: int,
+    total_samples: int,
+    lanes: int = 1 << 16,
+):
+    """Render `total_samples` paths distributed round-robin over `n_pix`
+    pixels. Returns (framebuffer_sum [n_pix,3], rays_traced scalar,
+    iterations scalar)."""
+    accel = ops_intersect.build_accel(scene)
+    light_accel = (
+        ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
+    )
+    tri_to_light = common.light_index_table(scene)
+    spherical = cfg.light_sampler == LS_SPHERICAL
+    cam = scene.camera
+
+    u_ax, v_ax, n_ax, dist = camera_basis(cam)
+    plen = pixel_len(cam, dist)
+
+    C = lanes
+
+    def primary_rays(pixel, it):
+        i = (pixel // cam.width).astype(jnp.float32)
+        j = (pixel % cam.width).astype(jnp.float32)
+        if cfg.pixel_jitter:
+            off = jax.random.uniform(
+                _step_key(base_key, it, rng.P_PIXEL_JITTER), (C, 2)
+            ) - 0.5
+            i = i + off[:, 0]
+            j = j + off[:, 1]
+        dx = -plen * (i - (cam.height - 1) / 2.0)
+        dy = plen * (j - (cam.width - 1) / 2.0)
+        rd = vm.normalize(
+            dx[:, None] * u_ax[None] + dy[:, None] * v_ax[None]
+            + dist * n_ax[None]
+        )
+        ro = jnp.broadcast_to(cam.eye, rd.shape)
+        return ro, rd
+
+    def cond(st):
+        return (st["counter"] < total_samples) | jnp.any(st["alive"])
+
+    def body(st):
+        alive = st["alive"]
+        depth = st["depth"]
+
+        # ---- one bounce for live lanes (semantics of wavefront._run_mis
+        #      / _run_split / _run_brdf depending on cfg.estimator) ----
+        hit = ops_intersect.intersect(
+            accel, st["ro"], st["rd"], st["excl"], impl=_impl(cfg)
+        )
+        nrays = st["nrays"] + jnp.sum(alive.astype(jnp.int32))
+        si = common.gather_interaction(scene, hit, st["rd"], tri_to_light)
+        cont = alive & hit.valid & si.front
+        L = st["L"]
+        tp = st["tp"]
+
+        is_primary = depth == 0
+        is_emit = cont & si.is_light
+        if cfg.estimator == EST_MIS:
+            if cfg.ref_mis_weights:
+                w_emit = jnp.ones((C,))
+            else:
+                p_l = _light_pdf_of_hit(
+                    scene, cfg, si, st["prev_p"], st["prev_ns"], st["prev_w"]
+                )
+                w_emit = jnp.where(
+                    is_primary, 1.0,
+                    st["prev_pb"] / _SG(jnp.maximum(st["prev_pb"] + p_l, 1e-20)),
+                )
+        elif cfg.estimator == EST_BRDF:
+            w_emit = jnp.ones((C,))
+        else:  # split: emission only on primary hits
+            w_emit = jnp.where(is_primary, 1.0, 0.0)
+        L = L + jnp.where(is_emit[:, None], tp * si.emission * w_emit[:, None], 0.0)
+        cont = cont & ~si.is_light
+
+        # Russian roulette placement differs per estimator (Q6/§3.2-3.3):
+        # mis: gates both strategies; split: only the continuation; brdf:
+        # before the bounce.
+        xi_rr = jax.random.uniform(_step_key(base_key, st["iter"], rng.P_RR), (C,))
+        survive = xi_rr < cfg.rr_prob
+        w_rr = 1.0 / cfg.rr_prob
+
+        if cfg.estimator == EST_MIS:
+            cont = cont & survive
+            tp = jnp.where(cont[:, None], tp * w_rr, tp)
+
+        # Light strategy / direct term.
+        if cfg.estimator in (EST_MIS, EST_SPLIT):
+            kstep = _step_key(base_key, st["iter"], rng.P_LIGHT_SELECT)
+            if cfg.estimator == EST_MIS:
+                if spherical:
+                    ls, wsum = light_spherical.sample(kstep, scene, si.p, si.ns)
+                else:
+                    ls = light_uniform.sample(kstep, scene, C)
+                    wsum = jnp.zeros((C,))
+                nrays = nrays + jnp.sum(cont.astype(jnp.int32))
+                L = L + tp * _nee_term(scene, cfg, accel, si, ls, wsum, cont)
+            else:
+                ls, wsum_ = _sample_light(kstep, scene, cfg, si)
+                wsum = jnp.zeros((C,))
+                nrays = nrays + jnp.sum(cont.astype(jnp.int32))
+                from monte_carlo_path_tracing_tpu.integrator.wavefront import _direct_term
+
+                L = L + tp * _direct_term(scene, cfg, accel, si, ls, cont, depth, kstep)
+            if cfg.estimator == EST_SPLIT:
+                cont = cont & survive
+                tp_rr = w_rr
+            else:
+                tp_rr = 1.0
+        else:
+            wsum = jnp.zeros((C,))
+            cont = cont & survive
+            tp_rr = w_rr
+
+        # BRDF bounce.
+        kstep_b = _step_key(base_key, st["iter"], rng.P_BSDF)
+        bs = phong.sample_brdf(
+            kstep_b, si.ns, si.wo, si.kd, si.ks, si.ns_exp,
+            branch_pdf_compat=cfg.branch_pdf_compat,
+        )
+        cos_i = vm.dot(bs.wi, si.ns)
+        cont = cont & (cos_i > 0.0) & (bs.pdf > 1e-12)
+
+        denom = _SG(jnp.maximum(bs.pdf, 1e-12))
+        if cfg.estimator == EST_MIS and cfg.ref_mis_weights:
+            lh = ops_intersect.intersect(
+                light_accel, si.p, bs.wi, si.tri_id, impl=_impl(cfg)
+            )
+            lidx = jnp.where(lh.valid, tri_to_light[jnp.maximum(lh.tri_id, 0)], -1)
+            if spherical:
+                p_al = light_spherical.pdf_of_tri(scene, si.p, si.ns, lidx, wsum)
+            else:
+                d2 = jnp.maximum(lh.t * lh.t, 1e-20)
+                nl = scene.geo_n[jnp.maximum(lh.tri_id, 0)]
+                p_al = jnp.where(
+                    lh.valid,
+                    common.area_pdf_to_solid_angle(
+                        light_uniform.pdf_area(scene, jnp.maximum(lidx, 0)),
+                        d2, -vm.dot(bs.wi, nl),
+                    ),
+                    0.0,
+                )
+            denom = _SG(jnp.maximum(bs.pdf + p_al, 1e-12))
+
+        f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
+        scale = jnp.maximum(cos_i, 0.0) / denom * tp_rr
+        tp = jnp.where(cont[:, None], tp * f * scale[:, None], tp)
+
+        # Lanes whose path ended this bounce (were alive, won't continue).
+        died = alive & ~cont
+
+        # ---- scatter finished paths & regenerate ----
+        fb = st["fb"].at[jnp.where(died, st["pixel"], n_pix)].add(
+            jnp.where(died[:, None], L, 0.0)
+        )
+
+        free = died | ~alive            # dead now, or idle from before
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        avail = total_samples - st["counter"]
+        take = free & (rank < avail)
+        new_sample = st["counter"] + rank
+        n_taken = jnp.sum(take.astype(jnp.int32))
+
+        pixel_new = (new_sample % n_pix).astype(jnp.int32)
+        ro_new, rd_new = primary_rays(pixel_new, st["iter"])
+
+        alive_next = cont | take
+        return {
+            "alive": alive_next,
+            "pixel": jnp.where(take, pixel_new, st["pixel"]),
+            "sample": jnp.where(take, new_sample, st["sample"]),
+            "depth": jnp.where(take, 0, depth + 1),
+            "ro": jnp.where(take[:, None], ro_new, si.p),
+            "rd": jnp.where(take[:, None], rd_new, bs.wi),
+            "excl": jnp.where(take, ops_intersect.NO_HIT, hit.tri_id),
+            "tp": jnp.where(take[:, None], 1.0, tp),
+            "L": jnp.where(take[:, None], 0.0, L),
+            "prev_pb": jnp.where(take, 1.0, _SG(bs.pdf)),
+            "prev_p": jnp.where(take[:, None], ro_new, si.p),
+            "prev_ns": jnp.where(take[:, None], rd_new, si.ns),
+            "prev_w": jnp.where(take, 0.0, wsum),
+            "counter": st["counter"] + n_taken,
+            "fb": fb,
+            "nrays": nrays,
+            "iter": st["iter"] + 1,
+        }
+
+    zero3 = jnp.zeros((C, 3))
+    st = {
+        "alive": jnp.zeros((C,), bool),
+        "pixel": jnp.zeros((C,), jnp.int32),
+        "sample": jnp.zeros((C,), jnp.int32),
+        "depth": jnp.zeros((C,), jnp.int32),
+        "ro": zero3,
+        "rd": jnp.concatenate([jnp.zeros((C, 2)), jnp.ones((C, 1))], axis=1),
+        "excl": jnp.full((C,), ops_intersect.NO_HIT, jnp.int32),
+        "tp": jnp.ones((C, 3)),
+        "L": zero3,
+        "prev_pb": jnp.ones((C,)),
+        "prev_p": zero3,
+        "prev_ns": jnp.concatenate([jnp.zeros((C, 2)), jnp.ones((C, 1))], axis=1),
+        "prev_w": jnp.zeros((C,)),
+        "counter": jnp.zeros((), jnp.int32),
+        "fb": jnp.zeros((n_pix + 1, 3)),
+        "nrays": jnp.zeros((), jnp.int32),
+        "iter": jnp.zeros((), jnp.int32),
+    }
+    st = jax.lax.while_loop(cond, body, st)
+    return st["fb"][:n_pix], st["nrays"], st["iter"]

@@ -41,6 +41,35 @@ def _sample_pass(scene: Scene, cfg: RenderConfig, key, pixel_idx, sample_id):
     return render_rays(scene, cfg, skey, ro, rd)
 
 
+def render_image_regen(
+    scene: Scene,
+    cfg: RenderConfig,
+    lanes: int = 1 << 16,
+) -> RenderResult:
+    """Path-regeneration renderer (integrator/regen.py): full-occupancy
+    wavefront, the fast path for forward renders and the benchmark."""
+    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+
+    cfg.validate()
+    cam = scene.camera
+    n_pix = cam.height * cam.width
+    total = n_pix * cfg.spp
+    key = rng.base_key(cfg.seed)
+
+    fn = jax.jit(
+        lambda sc, k: render_regen(sc, cfg, k, n_pix, total, lanes=lanes),
+        static_argnums=(),
+    )
+    t0 = time.perf_counter()
+    fb, nrays, iters = fn(scene, key)
+    fb = np.asarray(fb)
+    seconds = time.perf_counter() - t0
+    image = (fb / cfg.spp).reshape(cam.height, cam.width, 3)
+    return RenderResult(
+        image=image, spp_done=cfg.spp, seconds=seconds, rays_traced=int(nrays)
+    )
+
+
 def render_image(
     scene: Scene,
     cfg: RenderConfig,
