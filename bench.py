@@ -62,36 +62,30 @@ def main() -> None:
     )
 
     n_pix = res * res
-    chunk = min(chunk, n_pix)
     key = rng.base_key(cfg.seed)
 
-    def pass_fn(scene, key, idx, sample_id):
-        skey = rng.sample_key(key, sample_id)
-        ro, rd = generate_rays(scene.camera, idx)
-        rad, stats = render_rays(scene, cfg, skey, ro, rd, with_stats=True)
-        return jnp.sum(rad, axis=0), stats["rays"]
+    # Path-regeneration renderer (integrator/regen.py): full lane occupancy.
+    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
 
-    pass_jit = jax.jit(pass_fn)
+    lanes = chunk
+    warm_samples = lanes  # tiny warmup run to trigger compilation
 
-    idx0 = jnp.arange(chunk, dtype=jnp.int32)
-    # Warmup / compile
-    out = pass_jit(scene, key, idx0, 0)
-    jax.block_until_ready(out)
+    def run(scene, key, total):
+        # `total` stays traced so the warmup and the timed run share one
+        # compiled program (it only feeds the while_loop condition).
+        return render_regen(scene, cfg, key, n_pix, total, lanes=lanes)
 
-    pad = (-n_pix) % chunk
-    total_rays = 0
+    run_jit = jax.jit(run)
+    jax.block_until_ready(run_jit(scene, key, jnp.int32(warm_samples)))
+
+    total_samples = n_pix * spp
     t0 = time.perf_counter()
-    acc = None
-    for s in range(spp):
-        for c0 in range(0, n_pix + pad, chunk):
-            idx = jnp.arange(c0, c0 + chunk, dtype=jnp.int32) % n_pix
-            rad_sum, nrays = pass_jit(scene, key, idx, s)
-            total_rays += int(nrays)
-            acc = rad_sum if acc is None else acc + rad_sum
-    jax.block_until_ready(acc)
+    fb, nrays, iters = run_jit(scene, key, jnp.int32(total_samples))
+    jax.block_until_ready(fb)
     dt = time.perf_counter() - t0
+    total_rays = int(nrays)
 
-    paths = (n_pix + pad) * spp
+    paths = total_samples
     mrays = total_rays / dt / 1e6
     paths_per_s = paths / dt
     result = {
