@@ -162,14 +162,17 @@ def _direct_term(scene, cfg, accel, si, ls, alive, d, key):
     """
     wl_raw = ls.coord - si.p
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
-    wl = wl_raw / jnp.sqrt(dist2)[:, None]
+    dist = jnp.sqrt(dist2)
+    wl = wl_raw / dist[:, None]
     nl = scene.geo_n[jnp.maximum(ls.tri_id, 0)]
     cos_x = vm.dot(wl, si.ns)
     cos_l = -vm.dot(wl, nl)
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
-    sh = _trace(cfg, accel, si.p, wl, si.tri_id)
-    visible = ok & sh.valid & (sh.tri_id == ls.tri_id)
+    blocked = ops_intersect.occluded(
+        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg)
+    )
+    visible = ok & ~blocked
 
     f = phong.eval_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
     pdf = _SG(jnp.maximum(ls.pdf, 1e-20))
@@ -263,14 +266,17 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive):
     contribution = I * f * cos / (p_light + p_brdf), both solid-angle."""
     wl_raw = ls.coord - si.p
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
-    wl = wl_raw / jnp.sqrt(dist2)[:, None]
+    dist = jnp.sqrt(dist2)
+    wl = wl_raw / dist[:, None]
     nl = scene.geo_n[jnp.maximum(ls.tri_id, 0)]
     cos_x = vm.dot(wl, si.ns)
     cos_l = -vm.dot(wl, nl)
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
-    sh = _trace(cfg, accel, si.p, wl, si.tri_id)
-    visible = ok & sh.valid & (sh.tri_id == ls.tri_id)
+    blocked = ops_intersect.occluded(
+        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg)
+    )
+    visible = ok & ~blocked
 
     if cfg.light_sampler == LS_SPHERICAL:
         p_light = ls.pdf

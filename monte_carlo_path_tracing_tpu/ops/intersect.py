@@ -98,3 +98,42 @@ def intersect(
             ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps
         )
     raise ValueError(f"unknown intersect impl {impl!r}")
+
+
+#: Relative margin for shadow-ray occlusion: a hit counts as blocking only
+#: below t_max * (1 - margin), keeping the sampled light surface itself out.
+OCCLUSION_MARGIN = 1e-3
+
+
+def occluded(
+    accel: TriAccel,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    t_max: jnp.ndarray,
+    exclude_id: jnp.ndarray | None = None,
+    impl: str = "auto",
+    t_eps: float = T_EPS,
+) -> jnp.ndarray:
+    """[N] bool: something blocks the segment ro -> ro + t_max*rd.
+
+    The NEE visibility predicate. The reference computes a full nearest hit
+    and requires it to be exactly the sampled light triangle
+    (main.cpp:309-311); "no accepted hit closer than the sampled point" is
+    the same predicate, and the pallas path evaluates it with a pure
+    OR-reduction any-hit kernel (no extraction work).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
+    scaled = t_max * (1.0 - OCCLUSION_MARGIN)
+    if impl == "pallas":
+        from monte_carlo_path_tracing_tpu.ops import intersect_pallas
+
+        if exclude_id is None:
+            exclude_id = jnp.full((ro.shape[0],), NO_HIT, jnp.int32)
+        return intersect_pallas.occluded_pallas(
+            ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps
+        )
+    hit = intersect_ref.intersect_matmul(
+        ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps
+    )
+    return hit.valid & (hit.t < scaled)

@@ -1,16 +1,26 @@
-"""Pallas TPU kernel: fused matmul-form ray-triangle nearest hit.
+"""Pallas TPU kernels: matmul-form ray-triangle nearest hit & occlusion.
 
 Same math as intersect_ref.intersect_matmul (det/u/v/t numerators =
-[RT,10] @ [10,TT] dots on the MXU) but with the accept test and the running
-min-t reduction fused in VMEM — the [N,T] candidate field never touches HBM.
+[RT,10] @ [10,TT] dots on the MXU) with the accept test and reductions
+fused in VMEM — the [N,T] candidate field never touches HBM.
 
-Layout: per ray tile (grid dim 0) of RT=256 rays, the kernel loops over
-triangle tiles of TT=512, doing four [RT,10]@[10,TT] dot products (one per
-component; component-major layout avoids lane-strided extraction) and
-folding each tile's best hit into an in-register carry.
+Two kernels:
 
-The kernel runs in interpret mode off-TPU, which is how the CPU test suite
-checks it bit-for-bit against the jnp reference.
+- `nearest`: per triangle tile, two reductions only (min-t + argmin lane);
+  the winning triangle's barycentrics/id are recovered OUTSIDE the kernel
+  by one [N]-sized gather + a 40-flop re-evaluation (XLA), which removes
+  two thirds of the in-kernel epilogue work.
+- `occluded`: shadow-ray any-hit test — is any accepted triangle closer
+  than t_max? One OR-reduction, no extraction at all. This is cheaper than
+  nearest-hit + compare and is what NEE visibility actually needs (the
+  reference computes a full nearest hit and compares ids, main.cpp:309-311;
+  "no closer hit than the sampled point" is the same predicate evaluated
+  directly).
+
+MATMUL_PRECISION picks the MXU f32 emulation: HIGHEST = 6-pass (exact
+f32), HIGH = 3-pass bf16x3 (~f32 mantissa coverage, ~2x faster). Tests pin
+the kernels against the jnp reference in interpret mode; the TPU scripts
+re-validate compiled outputs bit-for-bit (scripts/tpu_pallas_bench.py).
 """
 
 from __future__ import annotations
@@ -29,84 +39,95 @@ from monte_carlo_path_tracing_tpu.ops.intersect_ref import (
 RAY_TILE = 256
 TRI_TILE = 512
 
+#: MXU f32 emulation mode for the coefficient dots.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 # Python-literal twins of intersect_ref's jnp sentinels (a pallas kernel may
 # not capture traced constants).
 _BIG_T = 3.0e38
 _NO_HIT = -1
 
 
-def _kernel(g_ref, w_ref, ids_ref, excl_ref,
-            t_ref, id_ref, u_ref, v_ref,
-            *, nb: int, t_eps: float):
-    g = g_ref[...]                     # [RT, 10]
-    excl = excl_ref[...]               # [RT, 1] i32
+def _dot(g, w):
+    return jax.lax.dot_general(
+        g, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    )
+
+
+def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps):
+    """Shared per-tile accept computation. Returns (ok, tp, adet, ids)."""
+    det = _dot(g, w_ref[b, 0])      # [RT, TT]
+    u_num = _dot(g, w_ref[b, 1])
+    v_num = _dot(g, w_ref[b, 2])
+    t_num = _dot(g, w_ref[b, 3])
+    ids = ids_ref[b]                # [TT] i32
+
+    s = jnp.sign(det)
+    adet = jnp.abs(det)
+    up = u_num * s
+    vp = v_num * s
+    tp = t_num * s
+    ok = (
+        (adet > DET_EPS)
+        & (up >= 0.0)
+        & (vp >= 0.0)
+        & (up + vp <= adet)
+        & (tp > t_eps * adet)
+        & (ids[None, :] != excl)
+    )
+    safe_det = jnp.where(adet > 0, det, 1.0)
+    return ok, t_num / safe_det, adet, ids
+
+
+def _kernel_nearest(g_ref, w_ref, ids_ref, excl_ref, t_ref, idx_ref,
+                    *, nb: int, t_eps: float):
+    g = g_ref[...]
+    excl = excl_ref[...]            # [RT, 1]
     RT = g.shape[0]
 
     def body(b, carry):
-        bt, bid, bu, bv = carry
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        det = dot(g, w_ref[b, 0])      # [RT, TT]
-        u_num = dot(g, w_ref[b, 1])
-        v_num = dot(g, w_ref[b, 2])
-        t_num = dot(g, w_ref[b, 3])
-        ids = ids_ref[b]               # [TT] i32
-
-        s = jnp.sign(det)
-        adet = jnp.abs(det)
-        up = u_num * s
-        vp = v_num * s
-        tp = t_num * s
-        ok = (
-            (adet > DET_EPS)
-            & (up >= 0.0)
-            & (vp >= 0.0)
-            & (up + vp <= adet)
-            & (tp > t_eps * adet)
-            & (ids[None, :] != excl)
-        )
-        safe_det = jnp.where(adet > 0, det, 1.0)
-        t = jnp.where(ok, t_num / safe_det, _BIG_T)
-
-        tile_best = jnp.min(t, axis=1)                    # [RT]
-        # one-hot of the (first) argmin lane, built without gathers
-        idx = jnp.argmin(t, axis=1)                       # [RT]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        onehot = lanes == idx[:, None]
-        pick = lambda x, fill: jnp.sum(jnp.where(onehot, x, fill), axis=1)
-        inv_det = 1.0 / safe_det
-        tile_id = pick(jnp.broadcast_to(ids[None, :], t.shape), 0)
-        tile_u = pick(u_num * inv_det, 0.0)
-        tile_v = pick(v_num * inv_det, 0.0)
-        tile_ok = jnp.sum(jnp.where(onehot, ok.astype(jnp.int32), 0), axis=1) > 0
-
+        bt, bidx = carry
+        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps)
+        t = jnp.where(ok, t, _BIG_T)
+        tile_best = jnp.min(t, axis=1)
+        lane = jnp.argmin(t, axis=1).astype(jnp.int32)
         better = tile_best < bt
         return (
             jnp.where(better, tile_best, bt),
-            jnp.where(better & tile_ok, tile_id, bid),
-            jnp.where(better, tile_u, bu),
-            jnp.where(better, tile_v, bv),
+            jnp.where(better, b * t.shape[1] + lane, bidx),
         )
 
     init = (
         jnp.full((RT,), _BIG_T, jnp.float32),
         jnp.full((RT,), _NO_HIT, jnp.int32),
-        jnp.zeros((RT,), jnp.float32),
-        jnp.zeros((RT,), jnp.float32),
     )
-    bt, bid, bu, bv = jax.lax.fori_loop(0, nb, body, init)
+    bt, bidx = jax.lax.fori_loop(0, nb, body, init)
     t_ref[...] = bt[:, None]
-    id_ref[...] = bid[:, None]
-    u_ref[...] = bu[:, None]
-    v_ref[...] = bv[:, None]
+    idx_ref[...] = bidx[:, None]
+
+
+def _kernel_occluded(g_ref, w_ref, ids_ref, excl_ref, tmax_ref, out_ref,
+                     *, nb: int, t_eps: float):
+    g = g_ref[...]
+    excl = excl_ref[...]
+    tmax = tmax_ref[...]            # [RT, 1] pre-scaled: t_max * (1 - eps)
+    RT = g.shape[0]
+
+    def body(b, blocked):
+        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps)
+        hit_close = ok & (t < tmax)
+        return blocked | (jnp.sum(hit_close.astype(jnp.int32), axis=1) > 0)
+
+    blocked = jax.lax.fori_loop(0, nb, body, jnp.zeros((RT,), bool))
+    out_ref[...] = blocked[:, None].astype(jnp.int32)
 
 
 def _pack_blocks(W: jnp.ndarray, tri_ids: jnp.ndarray, tile: int):
-    """[Tp,10,4] -> ([nb,4,10,tile] f32, [nb,tile] i32), padding to tile."""
+    """[Tp,10,4] -> ([nb,4,10,tile] f32, [nb,tile] i32, [nb*tile,10,4]),
+    padding to a tile multiple."""
     T = W.shape[0]
     pad = (-T) % tile
     if pad:
@@ -116,64 +137,107 @@ def _pack_blocks(W: jnp.ndarray, tri_ids: jnp.ndarray, tile: int):
         )
     nb = W.shape[0] // tile
     Wb = W.reshape(nb, tile, 10, 4).transpose(0, 3, 2, 1)  # [nb,4,10,tile]
-    return Wb, tri_ids.reshape(nb, tile)
+    return Wb, tri_ids.reshape(nb, tile), W
+
+
+def _common_specs(nb):
+    col = lambda i: (i, 0)
+    in_specs = [
+        pl.BlockSpec((RAY_TILE, 10), col, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (nb, 4, 10, TRI_TILE), lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((nb, TRI_TILE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
+    ]
+    return col, in_specs
+
+
+def _pad_rays(g, extras, pad_vals):
+    padN = (-g.shape[0]) % RAY_TILE
+    if padN:
+        g = jnp.concatenate([g, jnp.zeros((padN, 10), g.dtype)], axis=0)
+        extras = [
+            jnp.concatenate([e, jnp.full((padN,) + e.shape[1:], v, e.dtype)])
+            for e, v in zip(extras, pad_vals)
+        ]
+    return g, extras
 
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
-def _call(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool):
+def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool):
     N = ro.shape[0]
-    g = ray_features(ro, rd)                               # [N,10]
-    Wb, idb = _pack_blocks(W, tri_ids, TRI_TILE)
+    g = ray_features(ro, rd)
+    Wb, idb, Wflat = _pack_blocks(W, tri_ids, TRI_TILE)
     nb = Wb.shape[0]
-
-    padN = (-N) % RAY_TILE
-    if padN:
-        g = jnp.concatenate([g, jnp.zeros((padN, 10), g.dtype)], axis=0)
-        exclude_id = jnp.concatenate(
-            [exclude_id, jnp.full((padN,), NO_HIT, jnp.int32)], axis=0
-        )
+    g, (excl,) = _pad_rays(g, [exclude_id], [NO_HIT])
     Np = g.shape[0]
-    grid = (Np // RAY_TILE,)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-    ]
-    col = lambda i: (i, 0)
-    t, tid, u, v = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, t_eps=t_eps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((RAY_TILE, 10), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (nb, 4, 10, TRI_TILE), lambda i: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((nb, TRI_TILE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
-        ],
+    col, in_specs = _common_specs(nb)
+    t, idx = pl.pallas_call(
+        functools.partial(_kernel_nearest, nb=nb, t_eps=t_eps),
+        grid=(Np // RAY_TILE,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
         ],
-        out_shape=out_shape,
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        ],
         interpret=interpret,
-    )(g, Wb, idb, exclude_id[:, None])
+    )(g, Wb, idb, excl[:, None])
 
     t = t[:N, 0]
-    tid = tid[:N, 0]
-    u = u[:N, 0]
-    v = v[:N, 0]
-    valid = tid >= 0
+    idx = jnp.maximum(idx[:N, 0], 0)
+    valid = t < _BIG_T / 2
+
+    # Winner recovery in XLA: one gather + a 40-flop re-evaluation.
+    tid = idb.reshape(-1)[idx]
+    Wwin = Wflat[idx]                                  # [N,10,4]
+    vals = jnp.einsum(
+        "nf,nfk->nk", g[:N], Wwin, precision=jax.lax.Precision.HIGHEST
+    )
+    det = vals[:, 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
+    u = vals[:, 1] * inv_det
+    v = vals[:, 2] * inv_det
     return Hit(
         t=jnp.where(valid, t, BIG_T),
         tri_id=jnp.where(valid, tid, NO_HIT),
-        u=u, v=v, valid=valid,
+        u=jnp.where(valid, u, 0.0),
+        v=jnp.where(valid, v, 0.0),
+        valid=valid,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
+def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
+                   interpret: bool):
+    N = ro.shape[0]
+    g = ray_features(ro, rd)
+    Wb, idb, _ = _pack_blocks(W, tri_ids, TRI_TILE)
+    nb = Wb.shape[0]
+    g, (excl, tmax) = _pad_rays(
+        g, [exclude_id, t_max.astype(jnp.float32)], [NO_HIT, 0.0]
+    )
+    Np = g.shape[0]
+
+    col, in_specs = _common_specs(nb)
+    in_specs = in_specs + [
+        pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_occluded, nb=nb, t_eps=t_eps),
+        grid=(Np // RAY_TILE,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+        interpret=interpret,
+    )(g, Wb, idb, excl[:, None], tmax[:, None])[0]
+    return out[:N, 0] > 0
 
 
 def intersect_pallas(ro, rd, W, tri_ids, exclude_id=None, t_eps=T_EPS):
@@ -181,4 +245,13 @@ def intersect_pallas(ro, rd, W, tri_ids, exclude_id=None, t_eps=T_EPS):
     if exclude_id is None:
         exclude_id = jnp.full((N,), NO_HIT, jnp.int32)
     interpret = jax.default_backend() == "cpu"
-    return _call(ro, rd, W, tri_ids, exclude_id, float(t_eps), interpret)
+    return _call_nearest(ro, rd, W, tri_ids, exclude_id, float(t_eps), interpret)
+
+
+def occluded_pallas(ro, rd, W, tri_ids, exclude_id, t_max, t_eps=T_EPS):
+    """True where some accepted triangle lies closer than t_max (pre-scaled
+    by the caller's margin)."""
+    interpret = jax.default_backend() == "cpu"
+    return _call_occluded(
+        ro, rd, W, tri_ids, exclude_id, t_max, float(t_eps), interpret
+    )

@@ -94,6 +94,28 @@ def project(x1, n, pa, pb, pc, nl):
     }
 
 
+def solid_angle_fast(x1, n, pa, pb, pc, nl):
+    """(sA, valid) via Van Oosterom-Strackee: tan(sA/2) =
+    |det[A B C]| / (1 + A.B + B.C + C.A) — ONE atan2 per (point, triangle)
+    instead of the reference's six-acos Girard chain (Mylight.cpp:215-236),
+    which is the hot [N, L] pass of every NEE vertex. Winding-independent
+    (|det|); same front/horizon culls as :func:`project`."""
+    front = vm.dot(nl, x1 - pa) > EPS
+    above = (
+        (vm.dot(n, pa - x1) > EPS)
+        | (vm.dot(n, pb - x1) > EPS)
+        | (vm.dot(n, pc - x1) > EPS)
+    )
+    A = vm.normalize(pa - x1)
+    B = vm.normalize(pb - x1)
+    C = vm.normalize(pc - x1)
+    det = jnp.abs(vm.det3(A, B, C))
+    denom = 1.0 + vm.dot(A, B) + vm.dot(B, C) + vm.dot(C, A)
+    sA = 2.0 * jnp.arctan2(det, denom)
+    valid = front & above & (sA > EPS) & jnp.isfinite(sA)
+    return sA, valid
+
+
 def prepare(scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     """Batched 'prepared_for_lights_spherical_triangle_sampling'
     (Mylight.cpp:322-422): weights[N,L] and weights_sum[N]."""
@@ -101,10 +123,10 @@ def prepare(scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     nl = scene.geo_n[scene.light_tri_ids]                # [L,3]
     l_sum = radiance_sum(scene.light_emission())         # [L]
 
-    pr = project(
+    sA, valid = solid_angle_fast(
         x1[:, None, :], n[:, None, :], pa[None], pb[None], pc[None], nl[None]
     )
-    weight = jnp.where(pr["valid"], pr["sA"] * l_sum[None, :], 0.0)  # [N,L]
+    weight = jnp.where(valid, sA * l_sum[None, :], 0.0)  # [N,L]
     weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
     return weight, jnp.sum(weight, axis=-1)
 
@@ -205,7 +227,7 @@ def pdf_of_tri(
     pa, pb, pc = scene.light_verts()
     nl = scene.geo_n[scene.light_tri_ids]
     safe = jnp.clip(light_idx, 0, scene.num_lights - 1)
-    pr = project(x1, n, pa[safe], pb[safe], pc[safe], nl[safe])
+    _, valid = solid_angle_fast(x1, n, pa[safe], pb[safe], pc[safe], nl[safe])
     l_sum = radiance_sum(scene.light_emission())[safe]
-    ok = pr["valid"] & (light_idx >= 0) & (weights_sum > EPS)
+    ok = valid & (light_idx >= 0) & (weights_sum > EPS)
     return jnp.where(ok, l_sum / jnp.maximum(weights_sum, 1e-30), 0.0)

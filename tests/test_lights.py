@@ -147,3 +147,29 @@ def test_no_light_fallback(cornell_scene):
     assert not bool(ls.valid[0])
     assert float(ls.pdf[0]) == 1.0
     np.testing.assert_allclose(np.asarray(ls.emission), 0.0)
+
+
+def test_fast_solid_angle_matches_girard(rng_np):
+    """Van Oosterom-Strackee sA == Girard-excess sA on random valid configs."""
+    from monte_carlo_path_tracing_tpu.sampling.light_spherical import (
+        project, solid_angle_fast,
+    )
+
+    N = 512
+    x1 = jnp.asarray(rng_np.uniform(-1, 1, (N, 3)), jnp.float32)
+    n = vm.normalize(jnp.asarray(rng_np.normal(size=(N, 3)), jnp.float32))
+    pa = x1 + jnp.asarray(rng_np.uniform(1, 3, (N, 3)), jnp.float32)
+    pb = pa + jnp.asarray(rng_np.normal(size=(N, 3)), jnp.float32)
+    pc = pa + jnp.asarray(rng_np.normal(size=(N, 3)), jnp.float32)
+    nl = vm.normalize(jnp.cross(pb - pa, pc - pa))
+    # orient light normals toward x1 so the front cull passes sometimes
+    flip = vm.dot(nl, x1 - pa) < 0
+    nl = jnp.where(flip[:, None], -nl, nl)
+
+    pr = project(x1, n, pa, pb, pc, nl)
+    sA, valid = solid_angle_fast(x1, n, pa, pb, pc, nl)
+    both = np.asarray(pr["valid"] & valid)
+    assert both.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(sA)[both], np.asarray(pr["sA"])[both], rtol=2e-3, atol=1e-4
+    )

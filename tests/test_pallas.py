@@ -51,3 +51,35 @@ def test_pallas_single_triangle():
     assert bool(h.valid[0]) and not bool(h.valid[1])
     np.testing.assert_allclose(float(h.t[0]), 2.0, rtol=1e-5)
     assert int(h.tri_id[0]) == 3
+
+
+def test_occlusion_kernels_agree(rng_np):
+    import monte_carlo_path_tracing_tpu.ops.intersect as ops
+
+    T, N = 300, 257
+    v0, e1, e2, ro, rd = _random_case(rng_np, T, N)
+    ids = jnp.arange(T, dtype=jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    accel = ops.TriAccel(W=W, tri_ids=ids)
+    t_max = jnp.asarray(rng_np.uniform(0.5, 6.0, size=(N,)), jnp.float32)
+    excl = jnp.full((N,), -1, jnp.int32)
+    a = ops.occluded(accel, ro, rd, t_max, excl, impl="matmul")
+    b = ops.occluded(accel, ro, rd, t_max, excl, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert 0.05 < np.asarray(a).mean() < 0.95  # non-trivial case
+
+
+def test_occlusion_semantics():
+    import monte_carlo_path_tracing_tpu.ops.intersect as ops
+
+    v0 = jnp.asarray([[0.0, 0.0, 1.0]])  # blocker plane z=1
+    e1 = jnp.asarray([[4.0, 0.0, 0.0]])
+    e2 = jnp.asarray([[0.0, 4.0, 0.0]])
+    ids = jnp.asarray([0], jnp.int32)
+    accel = ops.TriAccel(W=ir.pack_tri_matrix(v0, e1, e2), tri_ids=ids)
+    ro = jnp.asarray([[0.5, 0.5, 0.0]] * 3)
+    rd = jnp.asarray([[0.0, 0.0, 1.0]] * 3)
+    # segment ends: before the blocker, past it, exactly on it (margin)
+    t_max = jnp.asarray([0.5, 2.0, 1.0])
+    out = np.asarray(ops.occluded(accel, ro, rd, t_max, impl="matmul"))
+    assert not out[0] and out[1] and not out[2]
