@@ -110,9 +110,14 @@ def cmd_render(args) -> int:
         except FileNotFoundError:
             pass
 
+    if args.regen:
+        from monte_carlo_path_tracing_tpu.render.renderer import render_image_regen
+
+        r = render_image_regen(scene, cfg, lanes=args.lanes)
+        image, seconds = r.image, r.seconds
     # render_image handles chunking; with --checkpoint-every the render runs
     # in spp segments so the framebuffer sum is available to save atomically.
-    if args.checkpoint and args.checkpoint_every:
+    elif args.checkpoint and args.checkpoint_every:
         h, w = scene.camera.height, scene.camera.width
         fb_sum = np.zeros((h, w, 3), np.float32) if fb is None else fb.copy()
         s = start_spp
@@ -188,6 +193,13 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--checkpoint-every", type=int, default=0)
     pr.add_argument("--resume", action="store_true")
+    pr.add_argument(
+        "--regen", action="store_true",
+        help="path-regeneration renderer (fastest forward path; no "
+             "checkpointing)",
+    )
+    pr.add_argument("--lanes", type=int, default=1 << 16,
+                    help="wavefront lanes for --regen")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("inverse", help="inverse-rendering recovery demo")
