@@ -85,8 +85,16 @@ def render_rays(
     else:
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
     L, nrays = out
+    nonfinite = jnp.sum(~jnp.isfinite(L).all(axis=-1))
+    if cfg.debug_checks:
+        # Tripwire (reference main.cpp:110 / Myobj.cpp:465 printf style):
+        # fires in compiled code when any lane produced a non-finite sample.
+        jax.debug.print(
+            "[tripwire] non-finite radiance lanes: {n}", n=nonfinite,
+            ordered=False,
+        )
     if with_stats:
-        return L, {"rays": nrays}
+        return L, {"rays": nrays, "nonfinite": nonfinite}
     return L
 
 

@@ -56,6 +56,12 @@ class RenderConfig:
     branch_pdf_compat: bool = False   # Q4: divide by branch pdf, not mixture pdf
     ref_mis_weights: bool = False     # Q11: reference's nearest-light-denominator MIS
 
+    # Debug tripwires (the reference's printf sentinels, SURVEY §4.2:
+    # backface-at-hit "95", DDA stall "464!!!!"): when on, render_rays
+    # reports non-finite radiance / suspicious states via jax.debug.print
+    # and the with_stats counters.
+    debug_checks: bool = False
+
     # Wavefront / performance
     ray_chunk: int = 1 << 16    # rays in flight per wavefront batch
     use_pallas: Optional[bool] = None   # None = auto (pallas on TPU, jnp elsewhere)
