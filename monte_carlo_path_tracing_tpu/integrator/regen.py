@@ -102,7 +102,9 @@ def render_regen(
         hit = ops_intersect.intersect(
             accel, st["ro"], st["rd"], st["excl"], impl=_impl(cfg)
         )
-        nrays = st["nrays"] + jnp.sum(alive.astype(jnp.int32))
+        # f32 accumulator: big renders overflow int32 (1024^2 x 1024 spp
+        # traces ~2.7e9 rays); 1e-7 relative error is fine for throughput.
+        nrays = st["nrays"] + jnp.sum(alive.astype(jnp.float32))
         si = common.gather_interaction(scene, hit, st["rd"], tri_to_light)
         cont = alive & hit.valid & si.front
         L = st["L"]
@@ -148,12 +150,12 @@ def render_regen(
                 else:
                     ls = light_uniform.sample(kstep, scene, C)
                     wsum = jnp.zeros((C,))
-                nrays = nrays + jnp.sum(cont.astype(jnp.int32))
+                nrays = nrays + jnp.sum(cont.astype(jnp.float32))
                 L = L + tp * _nee_term(scene, cfg, accel, si, ls, wsum, cont)
             else:
                 ls, wsum_ = _sample_light(kstep, scene, cfg, si)
                 wsum = jnp.zeros((C,))
-                nrays = nrays + jnp.sum(cont.astype(jnp.int32))
+                nrays = nrays + jnp.sum(cont.astype(jnp.float32))
                 from monte_carlo_path_tracing_tpu.integrator.wavefront import _direct_term
 
                 L = L + tp * _direct_term(scene, cfg, accel, si, ls, cont, depth, kstep)
@@ -257,7 +259,7 @@ def render_regen(
         "prev_w": jnp.zeros((C,)),
         "counter": jnp.zeros((), jnp.int32),
         "fb": jnp.zeros((n_pix + 1, 3)),
-        "nrays": jnp.zeros((), jnp.int32),
+        "nrays": jnp.zeros((), jnp.float32),
         "iter": jnp.zeros((), jnp.int32),
     }
     st = jax.lax.while_loop(cond, body, st)

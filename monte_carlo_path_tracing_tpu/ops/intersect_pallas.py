@@ -119,10 +119,11 @@ def _kernel_occluded(g_ref, w_ref, ids_ref, excl_ref, tmax_ref, out_ref,
     def body(b, blocked):
         ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps)
         hit_close = ok & (t < tmax)
-        return blocked | (jnp.sum(hit_close.astype(jnp.int32), axis=1) > 0)
+        # int32 carry: Mosaic cannot legalize an i1 vector loop carry
+        return blocked | (jnp.sum(hit_close.astype(jnp.int32), axis=1) > 0).astype(jnp.int32)
 
-    blocked = jax.lax.fori_loop(0, nb, body, jnp.zeros((RT,), bool))
-    out_ref[...] = blocked[:, None].astype(jnp.int32)
+    blocked = jax.lax.fori_loop(0, nb, body, jnp.zeros((RT,), jnp.int32))
+    out_ref[...] = blocked[:, None]
 
 
 def _pack_blocks(W: jnp.ndarray, tri_ids: jnp.ndarray, tile: int):
