@@ -55,10 +55,15 @@ def render_regen(
     n_pix: int,
     total_samples: int,
     lanes: int = 1 << 16,
+    pixel_offset=0,
 ):
     """Render `total_samples` paths distributed round-robin over `n_pix`
-    pixels. Returns (framebuffer_sum [n_pix,3], rays_traced scalar,
-    iterations scalar)."""
+    pixels [pixel_offset, pixel_offset + n_pix). Returns (framebuffer_sum
+    [n_pix,3], rays_traced scalar, iterations scalar).
+
+    `pixel_offset` lets a mesh shard own a contiguous pixel range while ray
+    generation still uses global image coordinates (see
+    parallel.sharded.render_regen_sharded)."""
     accel = ops_intersect.build_accel(scene)
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
@@ -218,8 +223,10 @@ def render_regen(
         new_sample = st["counter"] + rank
         n_taken = jnp.sum(take.astype(jnp.int32))
 
+        # local fb index in [0, n_pix); ray generation uses the global
+        # image pixel id (local + shard offset)
         pixel_new = (new_sample % n_pix).astype(jnp.int32)
-        ro_new, rd_new = primary_rays(pixel_new, st["iter"])
+        ro_new, rd_new = primary_rays(pixel_new + pixel_offset, st["iter"])
 
         alive_next = cont | take
         return {

@@ -55,3 +55,25 @@ def test_train_step_2d_mesh_runs_and_descends(cornell_scene):
     assert losses[-1] < losses[0], losses  # gradient descent makes progress
     # materials stayed replicated and finite
     assert np.isfinite(np.asarray(m.kd)).all()
+
+
+def test_sharded_regen_render(cornell_scene):
+    from monte_carlo_path_tracing_tpu.parallel import make_mesh
+    from monte_carlo_path_tracing_tpu.parallel.sharded import render_regen_sharded
+    from monte_carlo_path_tracing_tpu.render.renderer import render_image_regen
+
+    scene = dataclasses.replace(
+        cornell_scene,
+        camera=dataclasses.replace(cornell_scene.camera, width=16, height=16),
+    )
+    cfg = RenderConfig(width=16, height=16, spp=16, estimator="mis",
+                       max_depth=6, seed=2)
+    mesh = make_mesh((8,), ("tiles",))
+    fb, nrays = render_regen_sharded(scene, cfg, jax.random.key(2), mesh,
+                                     lanes_per_device=256)
+    img = np.asarray(fb).reshape(16, 16, 3) / cfg.spp
+    assert np.isfinite(img).all() and int(nrays) > 0
+    # agrees with the single-device regen renderer within MC noise
+    ref = render_image_regen(scene, cfg, lanes=1024).image
+    ratio = img.mean() / ref.mean()
+    assert 0.9 < ratio < 1.1, (img.mean(), ref.mean())
