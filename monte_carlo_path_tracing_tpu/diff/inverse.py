@@ -5,6 +5,7 @@ pixel-gradient descent."""
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax
@@ -25,6 +26,33 @@ class InverseResult:
     steps: int
 
 
+def save_state(path: str, lm, opt_state, step: int, losses: list) -> None:
+    """Checkpoint the optimisation (latent materials + optax state) as a
+    flat npz — resumable across processes."""
+    import numpy as np
+
+    flat, treedef = jax.tree.flatten((lm, opt_state))
+    np.savez_compressed(
+        path,
+        n=len(flat),
+        step=step,
+        losses=np.asarray(losses, np.float32),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
+    )
+
+
+def load_state(path: str, lm_like, opt_state_like):
+    """Restore (lm, opt_state, step, losses) from :func:`save_state`,
+    using example pytrees for structure."""
+    import numpy as np
+
+    _, treedef = jax.tree.flatten((lm_like, opt_state_like))
+    with np.load(path) as z:
+        flat = [jnp.asarray(z[f"leaf_{i}"]) for i in range(int(z["n"]))]
+        lm, opt_state = jax.tree.unflatten(treedef, flat)
+        return lm, opt_state, int(z["step"]), list(z["losses"])
+
+
 def recover_materials(
     scene_true: Scene,
     materials_init: Materials,
@@ -35,6 +63,8 @@ def recover_materials(
     seed: int = 0,
     progress: Optional[Callable[[int, float], None]] = None,
     optimize: tuple = ("kd", "ks", "ns", "emission"),
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> InverseResult:
     """Gradient-descend latent materials so renders match the true scene.
 
@@ -81,13 +111,22 @@ def recover_materials(
         return lm, opt_state, loss
 
     losses = []
-    for i in range(steps):
-        key, k_step, k_pix = jax.random.split(key, 3)
+    start = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        lm, opt_state, start, losses = load_state(checkpoint_path, lm, opt_state)
+    for i in range(start, steps):
+        key, k_step, k_pix = jax.random.split(jax.random.fold_in(
+            jax.random.key(seed), i), 3)
         idx = jax.random.randint(k_pix, (n_rays,), 0, n_pix, dtype=jnp.int32)
         lm, opt_state, loss = step(lm, opt_state, k_step, idx)
         losses.append(float(loss))
         if progress is not None:
             progress(i, losses[-1])
+        if (
+            checkpoint_path is not None and checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+        ):
+            save_state(checkpoint_path, lm, opt_state, i + 1, losses)
 
     return InverseResult(
         materials=dgrad.from_latent(lm), losses=losses, steps=steps

@@ -42,6 +42,12 @@ TRI_TILE = 512
 #: MXU f32 emulation mode for the coefficient dots.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
+#: "mxu": [RT,10]@[10,TT] dot_general (K=10 underutilises the 128-deep
+#: systolic array: ~8% occupancy x 6 f32-emulation passes). "vpu": unrolled
+#: broadcast-FMA accumulation — exact f32, and on v5e measured faster than
+#: the K-starved MXU path for this contraction shape.
+DOT_MODE = "vpu"
+
 # Python-literal twins of intersect_ref's jnp sentinels (a pallas kernel may
 # not capture traced constants).
 _BIG_T = 3.0e38
@@ -49,6 +55,11 @@ _NO_HIT = -1
 
 
 def _dot(g, w):
+    if DOT_MODE == "vpu":
+        acc = g[:, 0:1] * w[0:1, :]
+        for k in range(1, 10):
+            acc = acc + g[:, k : k + 1] * w[k : k + 1, :]
+        return acc
     return jax.lax.dot_general(
         g, w,
         dimension_numbers=(((1,), (0,)), ((), ())),

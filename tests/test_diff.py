@@ -124,3 +124,29 @@ def test_inverse_rendering_recovers_kd(cornell_scene):
     )[vis].mean()
     err1 = np.abs(np.asarray(res.materials.kd) - true_kd)[vis].mean()
     assert err1 < 0.4 * err0, (err0, err1)
+
+
+def test_inverse_checkpoint_resume(cornell_scene, tmp_path):
+    """Stopping at step k and resuming from the checkpoint reproduces the
+    uninterrupted run exactly (counter-keyed streams)."""
+    scene = _small(cornell_scene, wh=8)
+    cfg = RenderConfig(spp=1, estimator="brdf", max_depth=2, seed=0)
+    init = dataclasses.replace(
+        scene.materials, kd=jnp.clip(scene.materials.kd + 0.2, 0.02, 0.95)
+    )
+    ck = str(tmp_path / "inv.npz")
+
+    full = recover_materials(scene, init, cfg, steps=6, lr=0.1,
+                             rays_per_step=64, seed=3)
+    # run 1: stops after 3 steps (checkpointing every step)
+    recover_materials(scene, init, cfg, steps=3, lr=0.1, rays_per_step=64,
+                      seed=3, checkpoint_path=ck, checkpoint_every=1)
+    # run 2: resumes to 6
+    resumed = recover_materials(scene, init, cfg, steps=6, lr=0.1,
+                                rays_per_step=64, seed=3,
+                                checkpoint_path=ck, checkpoint_every=1)
+    np.testing.assert_allclose(
+        np.asarray(resumed.materials.kd), np.asarray(full.materials.kd),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert len(resumed.losses) == 6
