@@ -68,25 +68,46 @@ def main() -> None:
     from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
 
     lanes = chunk
-    warm_samples = lanes  # tiny warmup run to trigger compilation
-
-    def run(scene, key, total):
-        # `total` stays traced so the warmup and the timed run share one
-        # compiled program (it only feeds the while_loop condition).
-        return render_regen(scene, cfg, key, n_pix, total, lanes=lanes)
-
-    run_jit = jax.jit(run)
-    jax.block_until_ready(run_jit(scene, key, jnp.int32(warm_samples)))
-
+    n_dev = len(jax.devices())
     total_samples = n_pix * spp
-    t0 = time.perf_counter()
-    fb, nrays, iters = run_jit(scene, key, jnp.int32(total_samples))
-    jax.block_until_ready(fb)
-    dt = time.perf_counter() - t0
-    total_rays = int(nrays)
+
+    if n_dev > 1:
+        # Pod slice: pixels sharded over all chips, one regen loop each
+        # (parallel/sharded.py). Metric stays per-chip.
+        from monte_carlo_path_tracing_tpu.parallel import make_mesh
+        from monte_carlo_path_tracing_tpu.parallel.sharded import (
+            render_regen_sharded,
+        )
+
+        mesh = make_mesh((n_dev,), ("tiles",))
+        warm_cfg = cfg.replace(spp=1)
+        jax.block_until_ready(
+            render_regen_sharded(scene, warm_cfg, key, mesh, lanes)
+        )
+        t0 = time.perf_counter()
+        fb, nrays = render_regen_sharded(scene, cfg, key, mesh, lanes)
+        jax.block_until_ready(fb)
+        dt = time.perf_counter() - t0
+        total_rays = int(nrays)
+    else:
+        warm_samples = lanes  # tiny warmup run to trigger compilation
+
+        def run(scene, key, total):
+            # `total` stays traced so the warmup and the timed run share
+            # one compiled program (it only feeds the while_loop cond).
+            return render_regen(scene, cfg, key, n_pix, total, lanes=lanes)
+
+        run_jit = jax.jit(run)
+        jax.block_until_ready(run_jit(scene, key, jnp.int32(warm_samples)))
+
+        t0 = time.perf_counter()
+        fb, nrays, iters = run_jit(scene, key, jnp.int32(total_samples))
+        jax.block_until_ready(fb)
+        dt = time.perf_counter() - t0
+        total_rays = int(nrays)
 
     paths = total_samples
-    mrays = total_rays / dt / 1e6
+    mrays = total_rays / dt / 1e6 / n_dev  # per-chip
     paths_per_s = paths / dt
     result = {
         "metric": "Mrays/s/chip",

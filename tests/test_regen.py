@@ -54,3 +54,16 @@ def test_regen_deterministic(cornell_scene):
     a = render_image_regen(scene, cfg, lanes=512).image
     b = render_image_regen(scene, cfg, lanes=512).image
     np.testing.assert_array_equal(a, b)
+
+
+def test_regen_ref_mis_weights_and_uniform_sampler(cornell_scene):
+    """Compat/alternative sampler paths run in regen and produce sane images."""
+    scene = _small(cornell_scene)
+    base = dict(width=24, height=24, spp=8, estimator="mis", max_depth=6, seed=1)
+    for kw in (
+        dict(ref_mis_weights=True, light_sampler="spherical_triangle"),
+        dict(light_sampler="uniform_area"),
+    ):
+        cfg = RenderConfig(**base, **kw)
+        img = render_image_regen(scene, cfg, lanes=512).image
+        assert np.isfinite(img).all() and img.mean() > 0, kw
