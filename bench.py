@@ -76,16 +76,15 @@ def main() -> None:
         # (parallel/sharded.py). Metric stays per-chip.
         from monte_carlo_path_tracing_tpu.parallel import make_mesh
         from monte_carlo_path_tracing_tpu.parallel.sharded import (
-            render_regen_sharded,
+            make_regen_sharded,
         )
 
         mesh = make_mesh((n_dev,), ("tiles",))
-        warm_cfg = cfg.replace(spp=1)
-        jax.block_until_ready(
-            render_regen_sharded(scene, warm_cfg, key, mesh, lanes)
-        )
+        fn = make_regen_sharded(scene, cfg, mesh, lanes)
+        # warmup shares the compiled program (sample count is traced)
+        jax.block_until_ready(fn(scene, key, jnp.int32(1)))
         t0 = time.perf_counter()
-        fb, nrays = render_regen_sharded(scene, cfg, key, mesh, lanes)
+        fb, nrays = fn(scene, key, jnp.int32(spp))
         jax.block_until_ready(fb)
         dt = time.perf_counter() - t0
         total_rays = int(nrays)

@@ -49,6 +49,50 @@ def render_rays_sharded(
     return fn(scene, key=key, ro=ro, rd=rd)
 
 
+def make_regen_sharded(
+    scene_like: Scene,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    lanes_per_device: int = 1 << 16,
+):
+    """Build a jitted sharded path-regeneration renderer.
+
+    Pixels are sharded over the mesh's `tiles` axis: each device runs an
+    independent regeneration loop over its contiguous pixel range (no
+    communication — rays never talk; the sharded framebuffer is the output
+    layout). The returned function is
+        fn(scene, key, samples_per_pixel: jnp.int32)
+          -> (framebuffer_sum [n_pix, 3], rays_traced)
+    with the sample count TRACED so a cheap warmup call shares the
+    compiled program with the timed/real run.
+    """
+    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+
+    cam = scene_like.camera
+    n_pix = cam.height * cam.width
+    nd = mesh.shape[AXIS_TILES]
+    if n_pix % nd:
+        raise ValueError(f"pixel count {n_pix} not divisible by {nd} devices")
+    local = n_pix // nd
+
+    def shard_fn(sc, key, spp):
+        d = jax.lax.axis_index(AXIS_TILES)
+        key_d = jax.random.fold_in(key, d)
+        fb, nrays, _ = render_regen(
+            sc, cfg, key_d, local, local * spp,
+            lanes=lanes_per_device, pixel_offset=d * local,
+        )
+        return fb, jax.lax.psum(nrays, AXIS_TILES)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(AXIS_TILES), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def render_regen_sharded(
     scene: Scene,
     cfg: RenderConfig,
@@ -56,37 +100,9 @@ def render_regen_sharded(
     mesh: Mesh,
     lanes_per_device: int = 1 << 16,
 ):
-    """Full-image path-regeneration render with pixels sharded over the
-    mesh's `tiles` axis: each device runs an independent regeneration loop
-    over its contiguous pixel range (no communication at all — rays never
-    talk; the sharded framebuffer is the output layout). Returns
-    (framebuffer_sum [n_pix, 3], rays_traced scalar)."""
-    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
-
-    cam = scene.camera
-    n_pix = cam.height * cam.width
-    nd = mesh.shape[AXIS_TILES]
-    if n_pix % nd:
-        raise ValueError(f"pixel count {n_pix} not divisible by {nd} devices")
-    local = n_pix // nd
-    local_samples = local * cfg.spp
-
-    def shard_fn(sc, key):
-        d = jax.lax.axis_index(AXIS_TILES)
-        key_d = jax.random.fold_in(key, d)
-        fb, nrays, _ = render_regen(
-            sc, cfg, key_d, local, jnp.int32(local_samples),
-            lanes=lanes_per_device, pixel_offset=d * local,
-        )
-        return fb, jax.lax.psum(nrays, AXIS_TILES)
-
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(AXIS_TILES), P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)(scene, key)
+    """One-shot convenience wrapper over :func:`make_regen_sharded`."""
+    fn = make_regen_sharded(scene, cfg, mesh, lanes_per_device)
+    return fn(scene, key, jnp.int32(cfg.spp))
 
 
 def make_train_step(scene: Scene, cfg: RenderConfig, mesh: Mesh, lr: float = 2e-2):

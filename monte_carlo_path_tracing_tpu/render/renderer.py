@@ -57,11 +57,13 @@ def render_image_regen(
     key = rng.base_key(cfg.seed)
 
     fn = jax.jit(
-        lambda sc, k: render_regen(sc, cfg, k, n_pix, total, lanes=lanes),
-        static_argnums=(),
+        lambda sc, k, tot: render_regen(sc, cfg, k, n_pix, tot, lanes=lanes)
     )
+    # warmup excluded from `seconds` (the traced sample count means the
+    # tiny run compiles the same program as the real one)
+    jax.block_until_ready(fn(scene, key, jnp.int32(min(lanes, total))))
     t0 = time.perf_counter()
-    fb, nrays, iters = fn(scene, key)
+    fb, nrays, iters = fn(scene, key, jnp.int32(total))
     fb = np.asarray(fb)
     seconds = time.perf_counter() - t0
     image = (fb / cfg.spp).reshape(cam.height, cam.width, 3)
