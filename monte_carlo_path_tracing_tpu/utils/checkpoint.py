@@ -9,8 +9,6 @@ import dataclasses
 import json
 import os
 import tempfile
-from typing import Optional
-
 import numpy as np
 
 from monte_carlo_path_tracing_tpu.utils.config import RenderConfig

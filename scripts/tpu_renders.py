@@ -2,9 +2,9 @@
 """TPU: official bench refresh + showcase renders for docs."""
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-import dataclasses, subprocess, sys, time
+import dataclasses, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-import jax, jax.numpy as jnp, numpy as np
+import jax
 from monte_carlo_path_tracing_tpu.scene import load_scene
 from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
 from monte_carlo_path_tracing_tpu.render.renderer import render_image_regen
