@@ -45,9 +45,18 @@ def render_image_regen(
     scene: Scene,
     cfg: RenderConfig,
     lanes: int = 1 << 16,
+    max_samples_per_launch: int = 16 << 20,
 ) -> RenderResult:
     """Path-regeneration renderer (integrator/regen.py): full-occupancy
-    wavefront, the fast path for forward renders and the benchmark."""
+    wavefront, the fast path for forward renders and the benchmark.
+
+    Long renders are split into multiple device launches of at most
+    `max_samples_per_launch` paths: a single multi-minute while_loop
+    execution can trip device-side execution watchdogs (observed on v5e),
+    and per-launch splitting also gives progressive accumulation for free.
+    Each launch folds its index into the base key so sample streams stay
+    independent across launches.
+    """
     from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
 
     cfg.validate()
@@ -56,19 +65,34 @@ def render_image_regen(
     total = n_pix * cfg.spp
     key = rng.base_key(cfg.seed)
 
+    # Whole-spp launches so the round-robin sample->pixel mapping stays
+    # balanced within every launch.
+    spp_per_launch = max(1, min(cfg.spp, max_samples_per_launch // n_pix))
+
     fn = jax.jit(
         lambda sc, k, tot: render_regen(sc, cfg, k, n_pix, tot, lanes=lanes)
     )
     # warmup excluded from `seconds` (the traced sample count means the
     # tiny run compiles the same program as the real one)
     jax.block_until_ready(fn(scene, key, jnp.int32(min(lanes, total))))
+
     t0 = time.perf_counter()
-    fb, nrays, iters = fn(scene, key, jnp.int32(total))
-    fb = np.asarray(fb)
+    fb_acc = np.zeros((n_pix, 3), np.float32)
+    rays = 0.0
+    done = 0
+    launch = 0
+    while done < cfg.spp:
+        step = min(spp_per_launch, cfg.spp - done)
+        k = jax.random.fold_in(key, launch)
+        fb, nrays, _ = fn(scene, k, jnp.int32(n_pix * step))
+        fb_acc += np.asarray(fb)
+        rays += float(nrays)
+        done += step
+        launch += 1
     seconds = time.perf_counter() - t0
-    image = (fb / cfg.spp).reshape(cam.height, cam.width, 3)
+    image = (fb_acc / cfg.spp).reshape(cam.height, cam.width, 3)
     return RenderResult(
-        image=image, spp_done=cfg.spp, seconds=seconds, rays_traced=int(nrays)
+        image=image, spp_done=cfg.spp, seconds=seconds, rays_traced=int(rays)
     )
 
 
