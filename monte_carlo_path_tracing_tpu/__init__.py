@@ -14,3 +14,29 @@ differentiability, and multi-device scaling via jax.sharding meshes.
 __version__ = "0.1.0"
 
 from monte_carlo_path_tracing_tpu.utils.config import RenderConfig  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import monte_carlo_path_tracing_tpu`
+    cheap — jax-heavy modules load on first use)."""
+    lazy = {
+        "load_scene": ("monte_carlo_path_tracing_tpu.scene.build", "load_scene"),
+        "Scene": ("monte_carlo_path_tracing_tpu.scene.types", "Scene"),
+        "Camera": ("monte_carlo_path_tracing_tpu.scene.types", "Camera"),
+        "Materials": ("monte_carlo_path_tracing_tpu.scene.types", "Materials"),
+        "render_rays": ("monte_carlo_path_tracing_tpu.integrator.wavefront", "render_rays"),
+        "render_image": ("monte_carlo_path_tracing_tpu.render.renderer", "render_image"),
+        "render_image_regen": (
+            "monte_carlo_path_tracing_tpu.render.renderer", "render_image_regen",
+        ),
+        "write_image": ("monte_carlo_path_tracing_tpu.render.film", "write_image"),
+        "recover_materials": (
+            "monte_carlo_path_tracing_tpu.diff.inverse", "recover_materials",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
