@@ -97,3 +97,22 @@ def test_bug_compat_flags_run(cornell32):
     )
     img = render_image(cornell32, cfg).image
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_measure_bug_compat_darkens(cornell32):
+    """Q3 reproduction: pairing the area-form geometry factor with the
+    spherical sampler's solid-angle pdf (the reference's `shade` bug,
+    main.cpp:313-314 vs Mylight.cpp:317) scales direct light by
+    cos_l / r^2 — in the cornell box (r > 1 to the ceiling light) that
+    darkens the image, the reference's known under-illumination artifact
+    (README.md:388)."""
+    import numpy as np
+
+    cfg_ok = _cfg(estimator="split", light_sampler="spherical_triangle", spp=16)
+    cfg_bug = _cfg(
+        estimator="split", light_sampler="spherical_triangle", spp=16,
+        measure_bug_compat=True,
+    )
+    ok = render_image(cornell32, cfg_ok).image.mean()
+    bug = render_image(cornell32, cfg_bug).image.mean()
+    assert bug < 0.9 * ok, (bug, ok)
