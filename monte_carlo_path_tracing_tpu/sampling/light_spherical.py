@@ -118,14 +118,65 @@ def solid_angle_fast(x1, n, pa, pb, pc, nl):
 
 def prepare(scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     """Batched 'prepared_for_lights_spherical_triangle_sampling'
-    (Mylight.cpp:322-422): weights[N,L] and weights_sum[N]."""
+    (Mylight.cpp:322-422): weights[N,L] and weights_sum[N].
+
+    Quadratic-form expansion of the Van Oosterom-Strackee terms: every
+    per-(point, light-tri) dot product is bilinear in (x1 or n) and static
+    per-triangle data, so the whole [N, L] pass is two [N,3]@[3,*] matmuls
+    plus elementwise math — no [N, L, 3] direction vectors ever exist
+    (those HBM temps dominated the naive formulation's cost):
+
+      a.b   = pa.pb - x1.pa - x1.pb + |x1|^2          (a = pa - x1 etc)
+      |a|^2 = |pa|^2 - 2 x1.pa + |x1|^2
+      det(a,b,c) = det(pa,pb,pc) - x1.(pa x pb + pb x pc + pc x pa)
+      tan(sA/2) = |det(a,b,c)| / (la lb lc + (a.b) lc + (b.c) la + (c.a) lb)
+
+    Culls are the same as :func:`solid_angle_fast` in expanded form.
+    """
     pa, pb, pc = scene.light_verts()                     # [L,3] each
     nl = scene.geo_n[scene.light_tri_ids]                # [L,3]
     l_sum = radiance_sum(scene.light_emission())         # [L]
 
-    sA, valid = solid_angle_fast(
-        x1[:, None, :], n[:, None, :], pa[None], pb[None], pc[None], nl[None]
+    # static per-triangle data (loop-invariant: XLA hoists out of bounce loops)
+    det0 = vm.det3(pa, pb, pc)                           # [L]
+    crs = jnp.cross(pa, pb) + jnp.cross(pb, pc) + jnp.cross(pc, pa)
+    papb = vm.dot(pa, pb)
+    pbpc = vm.dot(pb, pc)
+    pcpa = vm.dot(pc, pa)
+    sqa, sqb, sqc = vm.dot(pa, pa), vm.dot(pb, pb), vm.dot(pc, pc)
+    nlpa = vm.dot(nl, pa)
+
+    hp = jax.lax.Precision.HIGHEST
+    # [N,3] @ [3, 5L]: x1 against (pa, pb, pc, crossum, nl)
+    Wx = jnp.concatenate([pa, pb, pc, crs, nl], axis=0).T      # [3, 5L]
+    X = jnp.einsum("ni,il->nl", x1, Wx, precision=hp)
+    L = pa.shape[0]
+    xa, xb, xc, xcrs, xnl = (X[:, k * L:(k + 1) * L] for k in range(5))
+    # [N,3] @ [3, 3L]: shading normal against the triangle vertices
+    Wn = jnp.concatenate([pa, pb, pc], axis=0).T
+    Nv = jnp.einsum("ni,il->nl", n, Wn, precision=hp)
+    na_, nb_, nc_ = (Nv[:, k * L:(k + 1) * L] for k in range(3))
+
+    xx = vm.dot(x1, x1)[:, None]                         # [N,1]
+    nx = vm.dot(n, x1)[:, None]
+
+    ab = papb[None] - xa - xb + xx
+    bc = pbpc[None] - xb - xc + xx
+    ca = pcpa[None] - xc - xa + xx
+    la = jnp.sqrt(jnp.maximum(sqa[None] - 2 * xa + xx, 1e-20))
+    lb = jnp.sqrt(jnp.maximum(sqb[None] - 2 * xb + xx, 1e-20))
+    lc = jnp.sqrt(jnp.maximum(sqc[None] - 2 * xc + xx, 1e-20))
+
+    det = det0[None] - xcrs
+    denom = la * lb * lc + ab * lc + bc * la + ca * lb
+    sA = 2.0 * jnp.arctan2(jnp.abs(det), denom)
+
+    front = (xnl - nlpa[None]) > EPS                     # nl.(x1 - pa) > eps
+    above = (
+        ((na_ - nx) > EPS) | ((nb_ - nx) > EPS) | ((nc_ - nx) > EPS)
     )
+    valid = front & above & (sA > EPS) & jnp.isfinite(sA)
+
     weight = jnp.where(valid, sA * l_sum[None, :], 0.0)  # [N,L]
     weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
     return weight, jnp.sum(weight, axis=-1)

@@ -173,3 +173,31 @@ def test_fast_solid_angle_matches_girard(rng_np):
     np.testing.assert_allclose(
         np.asarray(sA)[both], np.asarray(pr["sA"])[both], rtol=2e-3, atol=1e-4
     )
+
+
+def test_prepare_bilinear_matches_direct(cornell_scene, veach_scene, rng_np):
+    """The quadratic-form-expanded prepare() equals the direct per-pair
+    VOS computation (solid_angle_fast) on both bundled scenes."""
+    from monte_carlo_path_tracing_tpu.core.radiometry import radiance_sum
+
+    for sc in (cornell_scene, veach_scene):
+        N = 128
+        x1 = jnp.asarray(rng_np.uniform(-3, 3, (N, 3)), jnp.float32)
+        n = vm.normalize(jnp.asarray(rng_np.normal(size=(N, 3)), jnp.float32))
+        w, wsum = light_spherical.prepare(sc, x1, n)
+
+        pa, pb, pc = sc.light_verts()
+        nl = sc.geo_n[sc.light_tri_ids]
+        sA, valid = light_spherical.solid_angle_fast(
+            x1[:, None], n[:, None], pa[None], pb[None], pc[None], nl[None]
+        )
+        l_sum = radiance_sum(sc.light_emission())
+        w_ref = np.where(np.asarray(valid), np.asarray(sA) * np.asarray(l_sum)[None], 0.0)
+        # tolerate eps-borderline cull disagreements on a few pairs
+        diff = np.abs(np.asarray(w) - w_ref)
+        scale = np.maximum(w_ref.max(), 1e-6)
+        bad = (diff > 2e-3 * scale).mean()
+        assert bad < 2e-3, bad
+        np.testing.assert_allclose(
+            np.asarray(wsum), w_ref.sum(-1), rtol=5e-3, atol=1e-4
+        )
