@@ -212,7 +212,11 @@ def render_regen(
         died = alive & ~cont
 
         # ---- scatter finished paths & regenerate ----
-        fb = st["fb"].at[jnp.where(died, st["pixel"], n_pix)].add(
+        # Dead lanes write their pixel; live lanes each write a DISTINCT
+        # dummy row (n_pix + lane). A single shared dummy row serializes
+        # the scatter-add on the colliding index.
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+        fb = st["fb"].at[jnp.where(died, st["pixel"], n_pix + lane_ids)].add(
             jnp.where(died[:, None], L, 0.0)
         )
 
@@ -265,7 +269,7 @@ def render_regen(
         "prev_ns": jnp.concatenate([jnp.zeros((C, 2)), jnp.ones((C, 1))], axis=1),
         "prev_w": jnp.zeros((C,)),
         "counter": jnp.zeros((), jnp.int32),
-        "fb": jnp.zeros((n_pix + 1, 3)),
+        "fb": jnp.zeros((n_pix + C, 3)),
         "nrays": jnp.zeros((), jnp.float32),
         "iter": jnp.zeros((), jnp.int32),
     }
