@@ -56,14 +56,18 @@ def render_regen(
     total_samples: int,
     lanes: int = 1 << 16,
     pixel_offset=0,
+    pixel_stride: int = 1,
 ):
     """Render `total_samples` paths distributed round-robin over `n_pix`
-    pixels [pixel_offset, pixel_offset + n_pix). Returns (framebuffer_sum
-    [n_pix,3], rays_traced scalar, iterations scalar).
+    local pixels; local pixel i maps to global image pixel
+    i * pixel_stride + pixel_offset. Returns (framebuffer_sum [n_pix,3]
+    indexed by LOCAL pixel, rays_traced scalar, iterations scalar).
 
-    `pixel_offset` lets a mesh shard own a contiguous pixel range while ray
-    generation still uses global image coordinates (see
-    parallel.sharded.render_regen_sharded)."""
+    (stride, offset) lets a mesh shard own an INTERLEAVED pixel subset —
+    neighbouring pixels cost similar work, so interleaving balances load
+    across devices far better than contiguous blocks (SURVEY.md §7 hard
+    part 4) — while ray generation still uses global image coordinates
+    (see parallel.sharded.render_regen_sharded)."""
     accel = ops_intersect.build_accel(scene)
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
@@ -230,7 +234,9 @@ def render_regen(
         # local fb index in [0, n_pix); ray generation uses the global
         # image pixel id (local + shard offset)
         pixel_new = (new_sample % n_pix).astype(jnp.int32)
-        ro_new, rd_new = primary_rays(pixel_new + pixel_offset, st["iter"])
+        ro_new, rd_new = primary_rays(
+            pixel_new * pixel_stride + pixel_offset, st["iter"]
+        )
 
         alive_next = cont | take
         return {

@@ -78,9 +78,12 @@ def make_regen_sharded(
     def shard_fn(sc, key, spp):
         d = jax.lax.axis_index(AXIS_TILES)
         key_d = jax.random.fold_in(key, d)
+        # Interleaved assignment (device d owns pixels d, d+nd, ...):
+        # neighbouring pixels cost similar work, so this balances the
+        # RR-driven load variance across devices (SURVEY.md §7 #4).
         fb, nrays, _ = render_regen(
             sc, cfg, key_d, local, local * spp,
-            lanes=lanes_per_device, pixel_offset=d * local,
+            lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
         )
         return fb, jax.lax.psum(nrays, AXIS_TILES)
 
@@ -93,6 +96,18 @@ def make_regen_sharded(
     return jax.jit(fn)
 
 
+def deinterleave_framebuffer(fb, n_devices: int):
+    """Undo the interleaved pixel assignment of :func:`make_regen_sharded`
+    on the host: concatenated shard output row d*local+i holds global pixel
+    i*n_devices+d."""
+    import numpy as np
+
+    fb = np.asarray(fb)
+    n_pix = fb.shape[0]
+    local = n_pix // n_devices
+    return fb.reshape(n_devices, local, 3).transpose(1, 0, 2).reshape(n_pix, 3)
+
+
 def render_regen_sharded(
     scene: Scene,
     cfg: RenderConfig,
@@ -100,9 +115,13 @@ def render_regen_sharded(
     mesh: Mesh,
     lanes_per_device: int = 1 << 16,
 ):
-    """One-shot convenience wrapper over :func:`make_regen_sharded`."""
+    """One-shot convenience wrapper over :func:`make_regen_sharded`.
+    Returns (framebuffer_sum [n_pix,3] in GLOBAL pixel order (host array),
+    rays_traced)."""
     fn = make_regen_sharded(scene, cfg, mesh, lanes_per_device)
-    return fn(scene, key, jnp.int32(cfg.spp))
+    fb, nrays = fn(scene, key, jnp.int32(cfg.spp))
+    nd = mesh.shape[AXIS_TILES]
+    return deinterleave_framebuffer(fb, nd), nrays
 
 
 def make_train_step(scene: Scene, cfg: RenderConfig, mesh: Mesh, lr: float = 2e-2):

@@ -77,3 +77,8 @@ def test_sharded_regen_render(cornell_scene):
     ref = render_image_regen(scene, cfg, lanes=1024).image
     ratio = img.mean() / ref.mean()
     assert 0.9 < ratio < 1.1, (img.mean(), ref.mean())
+    # pixel ordering: directly-visible light pixels are exact (34,24,8) in
+    # both renderers, so the deinterleave must put them in the same place
+    lit = lambda im: np.all(np.abs(im - np.asarray([34.0, 24.0, 8.0])) < 1e-3, -1)
+    np.testing.assert_array_equal(lit(img), lit(ref))
+    assert lit(img).sum() >= 1
