@@ -28,7 +28,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--width", type=int, default=None, help="override xml width")
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--spp", type=int, default=10)
-    p.add_argument("--estimator", default="mis", choices=["brdf", "split", "mis"])
+    p.add_argument(
+        "--estimator", default="mis",
+        choices=["brdf", "split", "mis", "shoot"],
+    )
     p.add_argument(
         "--light-sampler", default="spherical_triangle",
         choices=["uniform_area", "spherical_triangle"],

@@ -44,7 +44,8 @@ from monte_carlo_path_tracing_tpu.ops import intersect as ops_intersect
 from monte_carlo_path_tracing_tpu.sampling import light_spherical, light_uniform, phong
 from monte_carlo_path_tracing_tpu.scene.types import Scene
 from monte_carlo_path_tracing_tpu.utils.config import (
-    EST_BRDF, EST_MIS, EST_SPLIT, LS_SPHERICAL, LS_UNIFORM_AREA, RenderConfig,
+    EST_BRDF, EST_MIS, EST_SHOOT, EST_SPLIT, LS_SPHERICAL, LS_UNIFORM_AREA,
+    RenderConfig,
 )
 
 _SG = jax.lax.stop_gradient
@@ -70,6 +71,19 @@ def render_rays(
     rays actually traced (extend + shadow, counting only wavefront lanes
     that were live at each trace), the honest numerator of Mrays/s.
     """
+    if cfg.estimator == EST_SHOOT:
+        # Legacy C17 estimator lives in its own module (dead code in the
+        # reference; inventory parity only).
+        from monte_carlo_path_tracing_tpu.integrator import legacy_shoot
+
+        out = legacy_shoot.render_rays_shoot(
+            scene, cfg, key, ro, rd, with_stats=True
+        )
+        L, stats = out
+        if with_stats:
+            return L, {"rays": stats["rays"],
+                       "nonfinite": jnp.sum(~jnp.isfinite(L).all(axis=-1))}
+        return L
     accel = ops_intersect.build_accel(scene)
     tri_to_light = common.light_index_table(scene)
     args = (scene, cfg, accel, tri_to_light, key, ro, rd)

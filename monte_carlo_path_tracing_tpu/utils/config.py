@@ -16,7 +16,8 @@ from typing import Optional, Tuple
 EST_BRDF = "brdf"      # shade_with_brdf  (main.cpp:348-399)
 EST_SPLIT = "split"    # shade            (main.cpp:269-344)
 EST_MIS = "mis"        # shade_with_mis   (main.cpp:402-494) — flagship
-ESTIMATORS = (EST_BRDF, EST_SPLIT, EST_MIS)
+EST_SHOOT = "shoot"    # legacy shoot     (main.cpp:96-265, dead code in ref)
+ESTIMATORS = (EST_BRDF, EST_SPLIT, EST_MIS, EST_SHOOT)
 
 # Light samplers (reference Mylight.cpp:102-160 / 163-493)
 LS_UNIFORM_AREA = "uniform_area"
