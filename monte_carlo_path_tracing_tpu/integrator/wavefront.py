@@ -64,12 +64,18 @@ def render_rays(
     ro: jnp.ndarray,
     rd: jnp.ndarray,
     with_stats: bool = False,
+    accel=None,
 ):
     """Estimate radiance [N,3] arriving at ray origins along -rd.
 
     with_stats=True additionally returns {"rays": scalar} — the number of
     rays actually traced (extend + shadow, counting only wavefront lanes
     that were live at each trace), the honest numerator of Mrays/s.
+
+    ``accel`` optionally injects a prebuilt acceleration structure
+    (TriAccel or GridAccel). The grid build is host-side, so with
+    ``cfg.accel == "grid"`` and a *traced* scene callers must prebuild the
+    grid eagerly and pass it here (render/renderer.py does).
     """
     if cfg.estimator == EST_SHOOT:
         # Legacy C17 estimator lives in its own module (dead code in the
@@ -84,7 +90,13 @@ def render_rays(
             return L, {"rays": stats["rays"],
                        "nonfinite": jnp.sum(~jnp.isfinite(L).all(axis=-1))}
         return L
-    accel = ops_intersect.build_accel(scene)
+    if accel is None:
+        if cfg.accel == "grid":
+            from monte_carlo_path_tracing_tpu.ops import grid as grid_mod
+
+            accel = grid_mod.build_grid(scene, n0=cfg.grid_n0)
+        else:
+            accel = ops_intersect.build_accel(scene)
     tri_to_light = common.light_index_table(scene)
     args = (scene, cfg, accel, tri_to_light, key, ro, rd)
     if cfg.estimator == EST_BRDF:

@@ -84,6 +84,10 @@ def intersect(
     Self-intersection avoidance is by triangle-id exclusion (quirk Q8,
     Myobj.cpp:417), not ray offsetting.
     """
+    from monte_carlo_path_tracing_tpu.ops import grid as grid_mod
+
+    if isinstance(accel, grid_mod.GridAccel):
+        return grid_mod.intersect_grid(accel, ro, rd, exclude_id, t_eps=t_eps)
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         impl = "pallas" if on_tpu else "matmul"
@@ -122,6 +126,11 @@ def occluded(
     the same predicate, and the pallas path evaluates it with a pure
     OR-reduction any-hit kernel (no extraction work).
     """
+    from monte_carlo_path_tracing_tpu.ops import grid as grid_mod
+
+    if isinstance(accel, grid_mod.GridAccel):
+        hit = grid_mod.intersect_grid(accel, ro, rd, exclude_id, t_eps=t_eps)
+        return hit.valid & (hit.t < t_max * (1.0 - OCCLUSION_MARGIN))
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
     scaled = t_max * (1.0 - OCCLUSION_MARGIN)

@@ -33,12 +33,13 @@ class RenderResult:
     rays_traced: int           # primary rays only (paths); see bench for defs
 
 
-def _sample_pass(scene: Scene, cfg: RenderConfig, key, pixel_idx, sample_id):
+def _sample_pass(scene: Scene, cfg: RenderConfig, key, pixel_idx, sample_id,
+                 accel=None):
     """Radiance of one sample for each pixel in the chunk — jitted once."""
     skey = rng.sample_key(key, sample_id)
     jitter = rng.bounce_key(skey, 0, rng.P_PIXEL_JITTER) if cfg.pixel_jitter else None
     ro, rd = generate_rays(scene.camera, pixel_idx, jitter_key=jitter)
-    return render_rays(scene, cfg, skey, ro, rd)
+    return render_rays(scene, cfg, skey, ro, rd, accel=accel)
 
 
 def render_image_regen(
@@ -122,7 +123,20 @@ def render_image(
     idx_all = np.arange(n_pix + pad, dtype=np.int32)
     idx_all[n_pix:] = 0  # padded pixels recompute pixel 0; discarded below
 
-    pass_fn = jax.jit(_sample_pass, static_argnums=(1,))
+    if cfg.accel == "grid":
+        # Host-side CSR build happens once, eagerly, outside the jit; the
+        # grid rides into the trace as a closed-over constant pytree.
+        from monte_carlo_path_tracing_tpu.ops import grid as grid_mod
+
+        grid = grid_mod.build_grid(scene, n0=cfg.grid_n0)
+        pass_fn = jax.jit(
+            lambda sc, cfg_, key, idx, s: _sample_pass(
+                sc, cfg_, key, idx, s, accel=grid
+            ),
+            static_argnums=(1,),
+        )
+    else:
+        pass_fn = jax.jit(_sample_pass, static_argnums=(1,))
 
     t0 = time.perf_counter()
     for s in range(start_spp, cfg.spp):

@@ -66,6 +66,11 @@ class RenderConfig:
     # Wavefront / performance
     ray_chunk: int = 1 << 16    # rays in flight per wavefront batch
     use_pallas: Optional[bool] = None   # None = auto (pallas on TPU, jnp elsewhere)
+    # Acceleration structure: "all_pairs" (MXU matmul/Pallas, production
+    # default) or "grid" (the reference's uniform grid + 3D-DDA, C10/C12 —
+    # wins once T is large enough that all-pairs work dominates).
+    accel: str = "all_pairs"
+    grid_n0: int = 100_000      # grid target cell count (main.cpp:520)
 
     # Distribution
     mesh_shape: Tuple[int, ...] = ()    # () = single device
@@ -85,3 +90,7 @@ class RenderConfig:
             raise ValueError("rr_prob must be in (0, 1)")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
+        if self.accel not in ("all_pairs", "grid"):
+            raise ValueError(
+                f"accel must be 'all_pairs' or 'grid', got {self.accel}"
+            )
