@@ -67,3 +67,4 @@ def test_regen_ref_mis_weights_and_uniform_sampler(cornell_scene):
         cfg = RenderConfig(**base, **kw)
         img = render_image_regen(scene, cfg, lanes=512).image
         assert np.isfinite(img).all() and img.mean() > 0, kw
+
