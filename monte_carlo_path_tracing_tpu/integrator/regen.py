@@ -218,10 +218,19 @@ def render_regen(
         # ---- scatter finished paths & regenerate ----
         # Dead lanes write their pixel; live lanes each write a DISTINCT
         # dummy row (n_pix + lane). A single shared dummy row serializes
-        # the scatter-add on the colliding index.
+        # the scatter-add on the colliding index. Three per-channel SCALAR
+        # scatters instead of one row scatter: the loop-carried [n,3]
+        # framebuffer gets a lane-padded T(4,128) layout (3 -> 128 lanes,
+        # ~42x memory blowup), and row updates pay that padding every
+        # iteration — measured 2.7 -> 1.45 ms/iter on v5e.
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
-        fb = st["fb"].at[jnp.where(died, st["pixel"], n_pix + lane_ids)].add(
-            jnp.where(died[:, None], L, 0.0)
+        tgt = jnp.where(died, st["pixel"], n_pix + lane_ids)
+        Lz = jnp.where(died[:, None], L, 0.0)
+        fb = (
+            st["fb"]
+            .at[tgt, 0].add(Lz[:, 0])
+            .at[tgt, 1].add(Lz[:, 1])
+            .at[tgt, 2].add(Lz[:, 2])
         )
 
         free = died | ~alive            # dead now, or idle from before

@@ -198,7 +198,7 @@ def _direct_term(scene, cfg, accel, si, ls, alive, d, key):
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
     dist = jnp.sqrt(dist2)
     wl = wl_raw / dist[:, None]
-    nl = scene.geo_n[jnp.maximum(ls.tri_id, 0)]
+    nl = ls.nl
     cos_x = vm.dot(wl, si.ns)
     cos_l = -vm.dot(wl, nl)
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
@@ -289,7 +289,7 @@ def _light_pdf_of_hit(scene, cfg, si, prev_p, prev_ns, prev_wsum):
         )
     pdf_a = light_uniform.pdf_area(scene, jnp.maximum(si.light_idx, 0))
     wl = wl_raw / jnp.sqrt(dist2)[:, None]
-    nl = scene.geo_n[jnp.maximum(si.tri_id, 0)]
+    nl = si.ng          # hit triangle's vote-oriented normal, already gathered
     cos_l = -vm.dot(wl, nl)
     pdf = common.area_pdf_to_solid_angle(pdf_a, dist2, cos_l)
     return jnp.where(si.light_idx >= 0, pdf, 0.0)
@@ -302,7 +302,7 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive):
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
     dist = jnp.sqrt(dist2)
     wl = wl_raw / dist[:, None]
-    nl = scene.geo_n[jnp.maximum(ls.tri_id, 0)]
+    nl = ls.nl
     cos_x = vm.dot(wl, si.ns)
     cos_l = -vm.dot(wl, nl)
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)

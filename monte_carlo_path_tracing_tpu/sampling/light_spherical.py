@@ -116,6 +116,46 @@ def solid_angle_fast(x1, n, pa, pb, pc, nl):
     return sA, valid
 
 
+def light_table(scene: Scene) -> jnp.ndarray:
+    """[L,16] packed per-light-triangle record: pa(3) pb(3) pc(3) nl(3)
+    emission(3) l_sum(1). One gather per lane instead of ~6 (TPU gathers
+    are slow; same packing trick as integrator.common.build_tri_table).
+    Loop-invariant, so XLA hoists the build out of bounce loops; emission
+    stays differentiable (plain gathers/concat from the material table)."""
+    pa, pb, pc = scene.light_verts()
+    nl = scene.geo_n[scene.light_tri_ids]
+    em = scene.light_emission()
+    l_sum = radiance_sum(em)
+    return jnp.concatenate([pa, pb, pc, nl, em, l_sum[:, None]], axis=1)
+
+
+def _project_for_warp(x1, n, pa, pb, pc):
+    """Oriented directions + the exact quantities Arvo's warp consumes:
+    (A, B, C, alpha, cos_c, sA) — per selected triangle only.
+
+    Leaner than :func:`project`: cos_c = A.B needs no acos, sA comes from
+    one Van Oosterom-Strackee atan2, leaving a single acos (alpha). The
+    full Girard chain (6 acos, Mylight.cpp:215-236) remains in
+    :func:`project` for the oracle/tests; culls are not needed here — the
+    triangle was already selected with weight > 0 by :func:`prepare`.
+    """
+    A = vm.normalize(pa - x1)
+    B0 = vm.normalize(pb - x1)
+    C0 = vm.normalize(pc - x1)
+    swap = vm.dot(vm.cross(C0 - A, B0 - A), n) < 0.0   # winding (Mylight.cpp:205-211)
+    B = jnp.where(swap[..., None], C0, B0)
+    C = jnp.where(swap[..., None], B0, C0)
+
+    n_ba = vm.normalize(vm.cross(B, A))
+    n_ac = vm.normalize(vm.cross(A, C))
+    alpha = _acos_c(-vm.dot(n_ba, n_ac))
+    cos_c = vm.dot(A, B)
+    det = jnp.abs(vm.det3(A, B, C))
+    denom = 1.0 + vm.dot(A, B) + vm.dot(B, C) + vm.dot(C, A)
+    sA = 2.0 * jnp.arctan2(det, denom)
+    return A, B, C, alpha, cos_c, sA
+
+
 def prepare(scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     """Batched 'prepared_for_lights_spherical_triangle_sampling'
     (Mylight.cpp:322-422): weights[N,L] and weights_sum[N].
@@ -182,10 +222,11 @@ def prepare(scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     return weight, jnp.sum(weight, axis=-1)
 
 
-def _arvo_warp(key, A, B, C, alpha, edge_c, sA):
+def _arvo_warp(key, A, B, C, alpha, cos_c, sA):
     """Arvo §5.2 uniform sample of a spherical triangle (Mylight.cpp:289-297).
 
-    Returns unit direction P. Batched over leading axes.
+    ``cos_c`` is the cosine of the arc AB (= A.B — the warp never needs the
+    angle itself). Returns unit direction P. Batched over leading axes.
     """
     N = A.shape[0]
     xi = jax.random.uniform(key, (N, 2))
@@ -193,7 +234,7 @@ def _arvo_warp(key, A, B, C, alpha, edge_c, sA):
     s = jnp.sin(sA1 - alpha)
     t = jnp.cos(sA1 - alpha)
     u = t - jnp.cos(alpha)
-    v = s + jnp.sin(alpha) * jnp.cos(edge_c)
+    v = s + jnp.sin(alpha) * cos_c
     denom = (v * s + u * t) * jnp.sin(alpha)
     denom = jnp.where(jnp.abs(denom) > 1e-20, denom, jnp.sign(denom) * 1e-20 + 1e-30)
     q = ((v * t - u * s) * jnp.cos(alpha) - v) / denom
@@ -227,23 +268,23 @@ def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     logits = jnp.where(has[:, None], logits, 0.0)
     lidx = jax.random.categorical(k_sel, logits, axis=-1)            # [N]
 
-    pa, pb, pc = scene.light_verts()
-    nl_all = scene.geo_n[scene.light_tri_ids]
-    pr = project(x1, n, pa[lidx], pb[lidx], pc[lidx], nl_all[lidx])
-    P = _arvo_warp(
-        k_warp, pr["A"], pr["B"], pr["C"], pr["alpha"], pr["edge_c"], pr["sA"]
-    )
+    rec = light_table(scene)[lidx]                       # [N,16] single gather
+    pa_s, pb_s, pc_s = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
+    nl = rec[:, 9:12]
+    em = rec[:, 12:15]
+    l_sum_s = rec[:, 15]
+
+    A, B, C, alpha, cos_c, sA = _project_for_warp(x1, n, pa_s, pb_s, pc_s)
+    P = _arvo_warp(k_warp, A, B, C, alpha, cos_c, sA)
 
     # Land the point on the flat triangle: plane intersection along P
     # (the reference re-runs intersect_with_triangle, Mylight.cpp:311-317;
     # the plane form is the same t without the redundant inside test).
-    nl = nl_all[lidx]
     denom = vm.dot(nl, P)
-    t = vm.dot(nl, pa[lidx] - x1) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    t = vm.dot(nl, pa_s - x1) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
     t = jnp.maximum(t, 0.0)
 
-    l_sum = radiance_sum(scene.light_emission())
-    pdf = jnp.where(has, l_sum[lidx] / jnp.maximum(weights_sum, 1e-30), 1.0)
+    pdf = jnp.where(has, l_sum_s / jnp.maximum(weights_sum, 1e-30), 1.0)
     # Detached sampling: the sampled point is a constant of differentiation
     # (see sampling/phong.py); emission stays attached for d/d(radiance).
     coord = jax.lax.stop_gradient(
@@ -255,9 +296,10 @@ def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
             coord=coord,
             light_idx=lidx,
             tri_id=scene.light_tri_ids[lidx],
-            emission=jnp.where(has[:, None], scene.light_emission()[lidx], 0.0),
+            emission=jnp.where(has[:, None], em, 0.0),
             pdf=pdf,
             valid=has,
+            nl=nl,
         ),
         weights_sum,
     )
@@ -275,10 +317,10 @@ def pdf_of_tri(
     triangle ``light_idx``, as seen from (x1, n) whose prepared
     ``weights_sum`` is supplied. Zero when the triangle was culled from the
     projected set (indiceMap miss) or nothing was projectable."""
-    pa, pb, pc = scene.light_verts()
-    nl = scene.geo_n[scene.light_tri_ids]
     safe = jnp.clip(light_idx, 0, scene.num_lights - 1)
-    _, valid = solid_angle_fast(x1, n, pa[safe], pb[safe], pc[safe], nl[safe])
-    l_sum = radiance_sum(scene.light_emission())[safe]
+    rec = light_table(scene)[safe]                       # [N,16] single gather
+    _, valid = solid_angle_fast(
+        x1, n, rec[:, 0:3], rec[:, 3:6], rec[:, 6:9], rec[:, 9:12]
+    )
     ok = valid & (light_idx >= 0) & (weights_sum > EPS)
-    return jnp.where(ok, l_sum / jnp.maximum(weights_sum, 1e-30), 0.0)
+    return jnp.where(ok, rec[:, 15] / jnp.maximum(weights_sum, 1e-30), 0.0)

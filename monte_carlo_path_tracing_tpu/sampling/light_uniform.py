@@ -40,6 +40,7 @@ class LightSample:
     emission: jnp.ndarray   # [N,3]
     pdf: jnp.ndarray        # [N]
     valid: jnp.ndarray      # [N] bool (False => dummy sample, contribute 0)
+    nl: jnp.ndarray         # [N,3] light geometric normal (vote-oriented)
 
 
 def select_table(scene: Scene) -> jnp.ndarray:
@@ -59,6 +60,22 @@ def select_table(scene: Scene) -> jnp.ndarray:
     return p_class[cls] * p_tri_in_class                          # [L]
 
 
+def pack_table(scene: Scene) -> jnp.ndarray:
+    """[L,17] packed record: v0(3) e1(3) e2(3) nl(3) emission(3)
+    pdf_area(1) tri_id(1) — one gather per lane instead of six."""
+    p_sel = select_table(scene)
+    tri = scene.light_tri_ids
+    pdf_a = p_sel / jnp.maximum(scene.light_area, 1e-30)
+    return jnp.concatenate(
+        [
+            scene.tri_v0[tri], scene.tri_e1[tri], scene.tri_e2[tri],
+            scene.geo_n[tri], scene.light_emission(),
+            pdf_a[:, None], tri.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
 def sample(key: jax.Array, scene: Scene, n_rays: int) -> LightSample:
     """Draw one light point per ray (batched)."""
     p_sel = select_table(scene)
@@ -70,18 +87,16 @@ def sample(key: jax.Array, scene: Scene, n_rays: int) -> LightSample:
     beta = 1.0 - jnp.sqrt(jnp.maximum(1.0 - xi[:, 0], 0.0))
     gamma = (1.0 - beta) * xi[:, 1]
 
-    tri = scene.light_tri_ids[lidx]
-    v0 = scene.tri_v0[tri]
-    coord = v0 + beta[:, None] * scene.tri_e1[tri] + gamma[:, None] * scene.tri_e2[tri]
-    area = scene.light_area[lidx]
-    pdf = p_sel[lidx] / jnp.maximum(area, 1e-30)
+    rec = pack_table(scene)[lidx]                        # [N,17] single gather
+    coord = rec[:, 0:3] + beta[:, None] * rec[:, 3:6] + gamma[:, None] * rec[:, 6:9]
     return LightSample(
         coord=coord,
         light_idx=lidx,
-        tri_id=tri,
-        emission=scene.light_emission()[lidx],
-        pdf=pdf,
+        tri_id=rec[:, 16].astype(jnp.int32),
+        emission=rec[:, 12:15],
+        pdf=rec[:, 15],
         valid=jnp.ones((n_rays,), bool),
+        nl=rec[:, 9:12],
     )
 
 

@@ -94,7 +94,7 @@ def test_arvo_samples_uniform_in_octant():
     )
     P = light_spherical._arvo_warp(
         jax.random.key(2), pr["A"], pr["B"], pr["C"], pr["alpha"],
-        pr["edge_c"], pr["sA"],
+        jnp.cos(pr["edge_c"]), pr["sA"],
     )
     P = np.asarray(P)
     assert np.all(P > -1e-5)  # inside the positive octant
@@ -201,3 +201,35 @@ def test_prepare_bilinear_matches_direct(cornell_scene, veach_scene, rng_np):
         np.testing.assert_allclose(
             np.asarray(wsum), w_ref.sum(-1), rtol=5e-3, atol=1e-4
         )
+
+
+def test_project_for_warp_matches_full_projection():
+    """The lean warp projection (1 acos + 1 atan2) agrees with the full
+    Girard-chain `project` on everything Arvo's warp consumes."""
+    rng = np.random.default_rng(11)
+    M = 256
+    x1 = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+    n = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    pa = x1 + jnp.asarray(rng.normal(size=(M, 3)) + 3.0, jnp.float32)
+    pb = x1 + jnp.asarray(rng.normal(size=(M, 3)) + 3.0, jnp.float32)
+    pc = x1 + jnp.asarray(rng.normal(size=(M, 3)) + 3.0, jnp.float32)
+    nl = jnp.cross(pb - pa, pc - pa)
+    nl = nl / jnp.linalg.norm(nl, axis=-1, keepdims=True)
+
+    pr = light_spherical.project(x1, n, pa, pb, pc, nl)
+    A, B, C, alpha, cos_c, sA = light_spherical._project_for_warp(
+        x1, n, pa, pb, pc
+    )
+    v = np.asarray(pr["valid"])
+    assert v.sum() > 20  # enough non-degenerate cases to be meaningful
+    np.testing.assert_allclose(np.asarray(A)[v], np.asarray(pr["A"])[v], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(B)[v], np.asarray(pr["B"])[v], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(C)[v], np.asarray(pr["C"])[v], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(alpha)[v], np.asarray(pr["alpha"])[v], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(cos_c)[v], np.cos(np.asarray(pr["edge_c"]))[v], atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(sA)[v], np.asarray(pr["sA"])[v], atol=2e-3)
