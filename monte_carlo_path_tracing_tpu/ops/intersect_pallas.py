@@ -36,8 +36,16 @@ from monte_carlo_path_tracing_tpu.ops.intersect_ref import (
     BIG_T, DET_EPS, Hit, NO_HIT, T_EPS, ray_features,
 )
 
-RAY_TILE = 256
-TRI_TILE = 512
+#: Tile sizes from a v5e sweep (65k rays x 3584 tris): (512, 1792) beat the
+#: original (256, 512) by 21%/14% on nearest/occlusion — fewer, fatter
+#: tiles amortise the per-tile reduction and loop overhead. TRI_TILE adapts
+#: down to one 512-multiple for small scenes so they don't pay padding.
+RAY_TILE = 512
+TRI_TILE = 1792
+
+
+def _tri_tile(T: int) -> int:
+    return min(TRI_TILE, ((T + 511) // 512) * 512)
 
 #: MXU f32 emulation mode for the coefficient dots.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
@@ -152,15 +160,15 @@ def _pack_blocks(W: jnp.ndarray, tri_ids: jnp.ndarray, tile: int):
     return Wb, tri_ids.reshape(nb, tile), W
 
 
-def _common_specs(nb):
+def _common_specs(nb, tile):
     col = lambda i: (i, 0)
     in_specs = [
         pl.BlockSpec((RAY_TILE, 10), col, memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (nb, 4, 10, TRI_TILE), lambda i: (0, 0, 0, 0),
+            (nb, 4, 10, tile), lambda i: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((nb, TRI_TILE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
     ]
     return col, in_specs
@@ -181,12 +189,13 @@ def _pad_rays(g, extras, pad_vals):
 def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool):
     N = ro.shape[0]
     g = ray_features(ro, rd)
-    Wb, idb, Wflat = _pack_blocks(W, tri_ids, TRI_TILE)
+    tile = _tri_tile(W.shape[0])
+    Wb, idb, Wflat = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
     g, (excl,) = _pad_rays(g, [exclude_id], [NO_HIT])
     Np = g.shape[0]
 
-    col, in_specs = _common_specs(nb)
+    col, in_specs = _common_specs(nb, tile)
     t, idx = pl.pallas_call(
         functools.partial(_kernel_nearest, nb=nb, t_eps=t_eps),
         grid=(Np // RAY_TILE,),
@@ -230,14 +239,15 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
                    interpret: bool):
     N = ro.shape[0]
     g = ray_features(ro, rd)
-    Wb, idb, _ = _pack_blocks(W, tri_ids, TRI_TILE)
+    tile = _tri_tile(W.shape[0])
+    Wb, idb, _ = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
     g, (excl, tmax) = _pad_rays(
         g, [exclude_id, t_max.astype(jnp.float32)], [NO_HIT, 0.0]
     )
     Np = g.shape[0]
 
-    col, in_specs = _common_specs(nb)
+    col, in_specs = _common_specs(nb, tile)
     in_specs = in_specs + [
         pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)
     ]
