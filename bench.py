@@ -44,6 +44,7 @@ def main() -> None:
     res = int(os.environ.get("BENCH_RES", "1024"))
     chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 16)))
     estimator = os.environ.get("BENCH_ESTIMATOR", "mis")
+    dot_mode = os.environ.get("BENCH_DOT_MODE") or None
     scene_path = os.environ.get(
         "BENCH_SCENE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -56,7 +57,7 @@ def main() -> None:
         scene, camera=dataclasses.replace(scene.camera, width=res, height=res)
     )
     cfg = RenderConfig(
-        width=res, height=res, spp=spp, estimator=estimator,
+        width=res, height=res, spp=spp, estimator=estimator, dot_mode=dot_mode,
         light_sampler="spherical_triangle", max_depth=16, ray_chunk=chunk,
         seed=0,
     )

@@ -54,6 +54,13 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--impl", default=None, choices=[None, "pallas", "matmul"],
                    help="intersection implementation (default auto)")
+    p.add_argument("--accel", default="all_pairs",
+                   choices=["all_pairs", "grid"],
+                   help="acceleration structure (grid = reference's uniform "
+                        "grid + 3D-DDA, C10/C12)")
+    p.add_argument("--dot-mode", default=None,
+                   choices=[None, "vpu", "mxu", "mxu_fast"],
+                   help="pallas kernel dot mode (mxu_fast = bf16x3 MXU)")
 
 
 def _load_scene(args):
@@ -92,6 +99,8 @@ def _make_cfg(args, cam):
         branch_pdf_compat=args.branch_pdf_compat,
         ref_mis_weights=args.ref_mis_weights,
         use_pallas=None if args.impl is None else (args.impl == "pallas"),
+        dot_mode=args.dot_mode,
+        accel=args.accel,
     )
 
 

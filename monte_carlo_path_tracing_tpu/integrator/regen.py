@@ -109,7 +109,8 @@ def render_regen(
         # ---- one bounce for live lanes (semantics of wavefront._run_mis
         #      / _run_split / _run_brdf depending on cfg.estimator) ----
         hit = ops_intersect.intersect(
-            accel, st["ro"], st["rd"], st["excl"], impl=_impl(cfg)
+            accel, st["ro"], st["rd"], st["excl"], impl=_impl(cfg),
+            mode=cfg.dot_mode,
         )
         # f32 accumulator: big renders overflow int32 (1024^2 x 1024 spp
         # traces ~2.7e9 rays); 1e-7 relative error is fine for throughput.
@@ -190,7 +191,8 @@ def render_regen(
         denom = _SG(jnp.maximum(bs.pdf, 1e-12))
         if cfg.estimator == EST_MIS and cfg.ref_mis_weights:
             lh = ops_intersect.intersect(
-                light_accel, si.p, bs.wi, si.tri_id, impl=_impl(cfg)
+                light_accel, si.p, bs.wi, si.tri_id, impl=_impl(cfg),
+                mode=cfg.dot_mode,
             )
             lidx = jnp.where(lh.valid, tri_to_light[jnp.maximum(lh.tri_id, 0)], -1)
             if spherical:

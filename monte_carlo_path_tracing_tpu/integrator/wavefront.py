@@ -125,7 +125,9 @@ def render_rays(
 
 
 def _trace(cfg, accel, ro, rd, exclude):
-    return ops_intersect.intersect(accel, ro, rd, exclude, impl=_impl(cfg))
+    return ops_intersect.intersect(
+        accel, ro, rd, exclude, impl=_impl(cfg), mode=cfg.dot_mode
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +206,7 @@ def _direct_term(scene, cfg, accel, si, ls, alive, d, key):
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
     blocked = ops_intersect.occluded(
-        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg)
+        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode
     )
     visible = ok & ~blocked
 
@@ -308,7 +310,7 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive):
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
     blocked = ops_intersect.occluded(
-        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg)
+        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode
     )
     visible = ok & ~blocked
 

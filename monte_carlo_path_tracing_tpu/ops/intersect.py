@@ -78,11 +78,13 @@ def intersect(
     exclude_id: jnp.ndarray | None = None,
     impl: str = "auto",
     t_eps: float = T_EPS,
+    mode: str | None = None,
 ) -> Hit:
     """Nearest hit of N rays against the accel's triangle set.
 
     Self-intersection avoidance is by triangle-id exclusion (quirk Q8,
-    Myobj.cpp:417), not ray offsetting.
+    Myobj.cpp:417), not ray offsetting. `mode` picks the pallas dot mode
+    (intersect_pallas.DOT_MODE); ignored by the other impls.
     """
     from monte_carlo_path_tracing_tpu.ops import grid as grid_mod
 
@@ -95,7 +97,7 @@ def intersect(
         from monte_carlo_path_tracing_tpu.ops import intersect_pallas
 
         return intersect_pallas.intersect_pallas(
-            ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps
+            ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps, mode=mode
         )
     if impl == "matmul":
         return intersect_ref.intersect_matmul(
@@ -117,6 +119,7 @@ def occluded(
     exclude_id: jnp.ndarray | None = None,
     impl: str = "auto",
     t_eps: float = T_EPS,
+    mode: str | None = None,
 ) -> jnp.ndarray:
     """[N] bool: something blocks the segment ro -> ro + t_max*rd.
 
@@ -140,7 +143,8 @@ def occluded(
         if exclude_id is None:
             exclude_id = jnp.full((ro.shape[0],), NO_HIT, jnp.int32)
         return intersect_pallas.occluded_pallas(
-            ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps
+            ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps,
+            mode=mode,
         )
     hit = intersect_ref.intersect_matmul(
         ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps

@@ -17,10 +17,10 @@ Two kernels:
   "no closer hit than the sampled point" is the same predicate evaluated
   directly).
 
-MATMUL_PRECISION picks the MXU f32 emulation: HIGHEST = 6-pass (exact
-f32), HIGH = 3-pass bf16x3 (~f32 mantissa coverage, ~2x faster). Tests pin
-the kernels against the jnp reference in interpret mode; the TPU scripts
-re-validate compiled outputs bit-for-bit (scripts/tpu_pallas_bench.py).
+DOT_MODE (see below) picks how the coefficient dots run: exact-f32 VPU /
+exact-f32 MXU emulation / fast bf16x3 MXU. Tests pin the exact modes
+against the jnp reference in interpret mode; the TPU scripts re-validate
+compiled outputs bit-for-bit (scripts/tpu_pallas_bench.py).
 """
 
 from __future__ import annotations
@@ -47,13 +47,17 @@ TRI_TILE = 1792
 def _tri_tile(T: int) -> int:
     return min(TRI_TILE, ((T + 511) // 512) * 512)
 
-#: MXU f32 emulation mode for the coefficient dots.
-MATMUL_PRECISION = jax.lax.Precision.HIGHEST
-
-#: "mxu": [RT,10]@[10,TT] dot_general (K=10 underutilises the 128-deep
-#: systolic array: ~8% occupancy x 6 f32-emulation passes). "vpu": unrolled
-#: broadcast-FMA accumulation — exact f32, and on v5e measured faster than
-#: the K-starved MXU path for this contraction shape.
+#: Dot modes for the [RT,10]@[10,TT] coefficient contraction:
+#:   "vpu"      — unrolled broadcast-FMA, exact f32 (the correctness mode;
+#:                matches the jnp reference bit-for-bit).
+#:   "mxu"      — dot_general at Precision.HIGHEST (6-pass f32 emulation;
+#:                exact, but K=10 gives ~8% systolic occupancy — measured at
+#:                parity with vpu on v5e).
+#:   "mxu_fast" — dot_general at Precision.HIGH (3-pass bf16x3, ~f32
+#:                mantissa coverage). Accept-test decisions may differ from
+#:                exact f32 on a ~1e-7-relative fringe of edge cases — pure
+#:                Monte-Carlo noise, unbiased; validated against the exact
+#:                kernel on full renders (scripts/tpu_pallas_bench.py).
 DOT_MODE = "vpu"
 
 # Python-literal twins of intersect_ref's jnp sentinels (a pallas kernel may
@@ -62,26 +66,48 @@ _BIG_T = 3.0e38
 _NO_HIT = -1
 
 
-def _dot(g, w):
-    if DOT_MODE == "vpu":
-        acc = g[:, 0:1] * w[0:1, :]
-        for k in range(1, 10):
-            acc = acc + g[:, k : k + 1] * w[k : k + 1, :]
-        return acc
+def _mxu(g, w, precision):
     return jax.lax.dot_general(
         g, w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=precision,
     )
 
 
-def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps):
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(g, w, mode):
+    if mode == "vpu":
+        acc = g[:, 0:1] * w[0:1, :]
+        for k in range(1, 10):
+            acc = acc + g[:, k : k + 1] * w[k : k + 1, :]
+        return acc
+    if mode == "mxu":
+        return _mxu(g, w, jax.lax.Precision.HIGHEST)
+    if mode == "mxu_bf16":            # 1-pass, ~8 mantissa bits: measurement only
+        return _mxu(g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    jax.lax.Precision.DEFAULT)
+    # mxu_fast: hand-rolled bf16x3 (Mosaic rejects Precision.HIGH in-kernel).
+    # x = hi + lo exactly in bf16 pairs; x.y ~= hi.hi + hi.lo + lo.hi — the
+    # dropped lo.lo term is O(2^-32) relative, giving ~f32 mantissa coverage
+    # in 3 single-pass MXU matmuls.
+    g_hi, g_lo = _split_bf16(g)
+    w_hi, w_lo = _split_bf16(w)
+    d = jax.lax.Precision.DEFAULT
+    return _mxu(g_hi, w_hi, d) + (_mxu(g_hi, w_lo, d) + _mxu(g_lo, w_hi, d))
+
+
+def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode):
     """Shared per-tile accept computation. Returns (ok, tp, adet, ids)."""
-    det = _dot(g, w_ref[b, 0])      # [RT, TT]
-    u_num = _dot(g, w_ref[b, 1])
-    v_num = _dot(g, w_ref[b, 2])
-    t_num = _dot(g, w_ref[b, 3])
+    det = _dot(g, w_ref[b, 0], mode)      # [RT, TT]
+    u_num = _dot(g, w_ref[b, 1], mode)
+    v_num = _dot(g, w_ref[b, 2], mode)
+    t_num = _dot(g, w_ref[b, 3], mode)
     ids = ids_ref[b]                # [TT] i32
 
     s = jnp.sign(det)
@@ -102,14 +128,14 @@ def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps):
 
 
 def _kernel_nearest(g_ref, w_ref, ids_ref, excl_ref, t_ref, idx_ref,
-                    *, nb: int, t_eps: float):
+                    *, nb: int, t_eps: float, mode: str):
     g = g_ref[...]
     excl = excl_ref[...]            # [RT, 1]
     RT = g.shape[0]
 
     def body(b, carry):
         bt, bidx = carry
-        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps)
+        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode)
         t = jnp.where(ok, t, _BIG_T)
         tile_best = jnp.min(t, axis=1)
         lane = jnp.argmin(t, axis=1).astype(jnp.int32)
@@ -129,14 +155,14 @@ def _kernel_nearest(g_ref, w_ref, ids_ref, excl_ref, t_ref, idx_ref,
 
 
 def _kernel_occluded(g_ref, w_ref, ids_ref, excl_ref, tmax_ref, out_ref,
-                     *, nb: int, t_eps: float):
+                     *, nb: int, t_eps: float, mode: str):
     g = g_ref[...]
     excl = excl_ref[...]
     tmax = tmax_ref[...]            # [RT, 1] pre-scaled: t_max * (1 - eps)
     RT = g.shape[0]
 
     def body(b, blocked):
-        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps)
+        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode)
         hit_close = ok & (t < tmax)
         # int32 carry: Mosaic cannot legalize an i1 vector loop carry
         return blocked | (jnp.sum(hit_close.astype(jnp.int32), axis=1) > 0).astype(jnp.int32)
@@ -185,8 +211,9 @@ def _pad_rays(g, extras, pad_vals):
     return g, extras
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
-def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("t_eps", "interpret", "mode"))
+def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
+                  mode: str):
     N = ro.shape[0]
     g = ray_features(ro, rd)
     tile = _tri_tile(W.shape[0])
@@ -197,7 +224,7 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool)
 
     col, in_specs = _common_specs(nb, tile)
     t, idx = pl.pallas_call(
-        functools.partial(_kernel_nearest, nb=nb, t_eps=t_eps),
+        functools.partial(_kernel_nearest, nb=nb, t_eps=t_eps, mode=mode),
         grid=(Np // RAY_TILE,),
         in_specs=in_specs,
         out_specs=[
@@ -215,7 +242,11 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool)
     idx = jnp.maximum(idx[:N, 0], 0)
     valid = t < _BIG_T / 2
 
-    # Winner recovery in XLA: one gather + a 40-flop re-evaluation.
+    # Winner recovery in XLA: one gather + a 40-flop re-evaluation. t is
+    # ALSO taken from this exact-f32 re-evaluation rather than the kernel's
+    # running min, so approximate dot modes (mxu_fast) only affect which
+    # triangle wins / accept flips on a grazing fringe — never the reported
+    # hit parameters.
     tid = idb.reshape(-1)[idx]
     Wwin = Wflat[idx]                                  # [N,10,4]
     vals = jnp.einsum(
@@ -225,6 +256,7 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
     u = vals[:, 1] * inv_det
     v = vals[:, 2] * inv_det
+    t = vals[:, 3] * inv_det
     return Hit(
         t=jnp.where(valid, t, BIG_T),
         tri_id=jnp.where(valid, tid, NO_HIT),
@@ -234,9 +266,9 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_eps", "interpret", "mode"))
 def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
-                   interpret: bool):
+                   interpret: bool, mode: str):
     N = ro.shape[0]
     g = ray_features(ro, rd)
     tile = _tri_tile(W.shape[0])
@@ -252,7 +284,7 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
         pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)
     ]
     out = pl.pallas_call(
-        functools.partial(_kernel_occluded, nb=nb, t_eps=t_eps),
+        functools.partial(_kernel_occluded, nb=nb, t_eps=t_eps, mode=mode),
         grid=(Np // RAY_TILE,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)],
@@ -262,18 +294,22 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
     return out[:N, 0] > 0
 
 
-def intersect_pallas(ro, rd, W, tri_ids, exclude_id=None, t_eps=T_EPS):
+def intersect_pallas(ro, rd, W, tri_ids, exclude_id=None, t_eps=T_EPS,
+                     mode=None):
     N = ro.shape[0]
     if exclude_id is None:
         exclude_id = jnp.full((N,), NO_HIT, jnp.int32)
     interpret = jax.default_backend() == "cpu"
-    return _call_nearest(ro, rd, W, tri_ids, exclude_id, float(t_eps), interpret)
+    return _call_nearest(ro, rd, W, tri_ids, exclude_id, float(t_eps),
+                         interpret, mode or DOT_MODE)
 
 
-def occluded_pallas(ro, rd, W, tri_ids, exclude_id, t_max, t_eps=T_EPS):
+def occluded_pallas(ro, rd, W, tri_ids, exclude_id, t_max, t_eps=T_EPS,
+                    mode=None):
     """True where some accepted triangle lies closer than t_max (pre-scaled
     by the caller's margin)."""
     interpret = jax.default_backend() == "cpu"
     return _call_occluded(
-        ro, rd, W, tri_ids, exclude_id, t_max, float(t_eps), interpret
+        ro, rd, W, tri_ids, exclude_id, t_max, float(t_eps), interpret,
+        mode or DOT_MODE
     )

@@ -66,6 +66,11 @@ class RenderConfig:
     # Wavefront / performance
     ray_chunk: int = 1 << 16    # rays in flight per wavefront batch
     use_pallas: Optional[bool] = None   # None = auto (pallas on TPU, jnp elsewhere)
+    # Pallas intersect dot mode: None = kernel default (exact f32 VPU);
+    # "vpu" / "mxu" are exact f32, "mxu_fast" runs the coefficient dots as
+    # 3-pass bf16x3 on the MXU (~f32 mantissa coverage; accept decisions can
+    # flip on a ~1e-7-relative fringe — unbiased MC noise, not a bias).
+    dot_mode: Optional[str] = None
     # Acceleration structure: "all_pairs" (MXU matmul/Pallas, production
     # default) or "grid" (the reference's uniform grid + 3D-DDA, C10/C12 —
     # wins once T is large enough that all-pairs work dominates).
@@ -93,4 +98,8 @@ class RenderConfig:
         if self.accel not in ("all_pairs", "grid"):
             raise ValueError(
                 f"accel must be 'all_pairs' or 'grid', got {self.accel}"
+            )
+        if self.dot_mode not in (None, "vpu", "mxu", "mxu_fast"):
+            raise ValueError(
+                f"dot_mode must be None/'vpu'/'mxu'/'mxu_fast', got {self.dot_mode}"
             )

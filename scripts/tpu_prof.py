@@ -91,6 +91,37 @@ def main():
     t = timed(f_vos, si.p, si.ns, lidx, ws)
     print(f"pdf_of_tri:     {t*1e3:7.2f} ms", flush=True)
 
+    # RNG draw cost: the regen body draws ~6 per-lane uniforms per iteration
+    # (RR, 3x light select/warp, 2-3x bsdf). One (N,) threefry draw:
+    f_rng1 = jax.jit(lambda k: jax.random.uniform(k, (N,)))
+    t = timed(f_rng1, key)
+    print(f"threefry (N,):  {t*1e3:7.2f} ms", flush=True)
+    f_rng6 = jax.jit(lambda k: jax.random.uniform(k, (6, N)))
+    t = timed(f_rng6, key)
+    print(f"threefry (6,N): {t*1e3:7.2f} ms", flush=True)
+    krbg = jax.random.key(0, impl="rbg")
+    f_rbg = jax.jit(lambda k: jax.random.uniform(k, (6, N)))
+    t = timed(f_rbg, krbg)
+    print(f"rbg (6,N):      {t*1e3:7.2f} ms", flush=True)
+
+    # Full regen iteration for scale (ms/iter at C=65536):
+    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+    from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=256, height=256, spp=8, estimator="mis",
+                       light_sampler="spherical_triangle")
+    f_regen = jax.jit(
+        lambda k: render_regen(scene, cfg, k, 256 * 256, 256 * 256 * 8, lanes=N)
+    )
+    fb, nrays, iters = f_regen(key)
+    jax.block_until_ready(fb)
+    t0 = time.perf_counter()
+    fb, nrays, iters = f_regen(key)
+    jax.block_until_ready(fb)
+    dt = time.perf_counter() - t0
+    print(f"regen: {dt:.3f}s, {int(iters)} iters, {dt/int(iters)*1e3:.2f} ms/iter, "
+          f"{float(nrays)/dt/1e6:.2f} Mrays/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

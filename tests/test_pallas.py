@@ -83,3 +83,22 @@ def test_occlusion_semantics():
     t_max = jnp.asarray([0.5, 2.0, 1.0])
     out = np.asarray(ops.occluded(accel, ro, rd, t_max, impl="matmul"))
     assert not out[0] and out[1] and not out[2]
+
+
+def test_mxu_fast_mode_agrees(rng_np):
+    """bf16x3 dot mode vs the exact vpu mode: hits agree except on a tiny
+    fringe of accept-boundary cases; agreeing hits have ~f32-accurate t."""
+    T, N = 700, 513
+    v0, e1, e2, ro, rd = _random_case(rng_np, T, N)
+    ids = jnp.arange(T, dtype=jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    h0 = ip.intersect_pallas(ro, rd, W, ids, mode="vpu")
+    h1 = ip.intersect_pallas(ro, rd, W, ids, mode="mxu_fast")
+    v0_, v1_ = np.asarray(h0.valid), np.asarray(h1.valid)
+    assert (v0_ == v1_).mean() > 0.99
+    m = v0_ & v1_ & (np.asarray(h0.tri_id) == np.asarray(h1.tri_id))
+    assert m.mean() > 0.98 * v0_.mean()
+    rel = np.abs(np.asarray(h1.t)[m] - np.asarray(h0.t)[m]) / np.maximum(
+        np.asarray(h0.t)[m], 1e-3
+    )
+    assert rel.max() < 1e-4
