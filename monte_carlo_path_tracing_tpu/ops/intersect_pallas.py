@@ -53,11 +53,11 @@ def _tri_tile(T: int) -> int:
 #:   "mxu"      — dot_general at Precision.HIGHEST (6-pass f32 emulation;
 #:                exact, but K=10 gives ~8% systolic occupancy — measured at
 #:                parity with vpu on v5e).
-#:   "mxu_fast" — dot_general at Precision.HIGH (3-pass bf16x3, ~f32
-#:                mantissa coverage). Accept-test decisions may differ from
-#:                exact f32 on a ~1e-7-relative fringe of edge cases — pure
-#:                Monte-Carlo noise, unbiased; validated against the exact
-#:                kernel on full renders (scripts/tpu_pallas_bench.py).
+#:   "mxu_fast" — 3-pass bf16x3 MXU decomposition (~2^-16-relative error,
+#:                roughly half of f32's mantissa). Accept-test decisions may
+#:                flip deterministically on a ~1e-5-relative fringe of
+#:                grazing edge cases; validated against the exact kernel on
+#:                full renders (scripts/tpu_pallas_bench.py).
 DOT_MODE = "vpu"
 
 # Python-literal twins of intersect_ref's jnp sentinels (a pallas kernel may
@@ -92,14 +92,19 @@ def _dot(g, w, mode):
     if mode == "mxu_bf16":            # 1-pass, ~8 mantissa bits: measurement only
         return _mxu(g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                     jax.lax.Precision.DEFAULT)
-    # mxu_fast: hand-rolled bf16x3 (Mosaic rejects Precision.HIGH in-kernel).
-    # x = hi + lo exactly in bf16 pairs; x.y ~= hi.hi + hi.lo + lo.hi — the
-    # dropped lo.lo term is O(2^-32) relative, giving ~f32 mantissa coverage
-    # in 3 single-pass MXU matmuls.
-    g_hi, g_lo = _split_bf16(g)
-    w_hi, w_lo = _split_bf16(w)
-    d = jax.lax.Precision.DEFAULT
-    return _mxu(g_hi, w_hi, d) + (_mxu(g_hi, w_lo, d) + _mxu(g_lo, w_hi, d))
+    if mode == "mxu_fast":
+        # Hand-rolled bf16x3 (Mosaic rejects Precision.HIGH in-kernel).
+        # x = hi + lo exactly in bf16 pairs (lo ~= 2^-9 * x); x.y ~=
+        # hi.hi + hi.lo + lo.hi — the dropped lo.lo term plus the split
+        # residual is ~2^-16..2^-17 relative (~1e-5), i.e. roughly half
+        # of f32's mantissa, in 3 single-pass MXU matmuls. Accept/occlusion
+        # decisions can flip deterministically on that ~1e-5-relative
+        # fringe; full-render validation lives in scripts/tpu_pallas_bench.
+        g_hi, g_lo = _split_bf16(g)
+        w_hi, w_lo = _split_bf16(w)
+        d = jax.lax.Precision.DEFAULT
+        return _mxu(g_hi, w_hi, d) + (_mxu(g_hi, w_lo, d) + _mxu(g_lo, w_hi, d))
+    raise ValueError(f"unknown pallas dot mode {mode!r}")  # trace-time
 
 
 def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode):

@@ -68,8 +68,9 @@ class RenderConfig:
     use_pallas: Optional[bool] = None   # None = auto (pallas on TPU, jnp elsewhere)
     # Pallas intersect dot mode: None = kernel default (exact f32 VPU);
     # "vpu" / "mxu" are exact f32, "mxu_fast" runs the coefficient dots as
-    # 3-pass bf16x3 on the MXU (~f32 mantissa coverage; accept decisions can
-    # flip on a ~1e-7-relative fringe — unbiased MC noise, not a bias).
+    # 3-pass bf16x3 on the MXU (~2^-16 relative error, roughly half-f32
+    # mantissa coverage; accept decisions can flip deterministically on a
+    # ~1e-5-relative fringe of grazing cases — validated on full renders).
     dot_mode: Optional[str] = None
     # Acceleration structure: "all_pairs" (MXU matmul/Pallas, production
     # default) or "grid" (the reference's uniform grid + 3D-DDA, C10/C12 —

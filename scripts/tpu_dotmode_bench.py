@@ -43,6 +43,8 @@ def main():
     excl = jnp.full((N,), ip.NO_HIT, jnp.int32)
 
     ref = None
+    # NOTE: "mxu_bf16" is a measurement-only mode (RenderConfig rejects it);
+    # it bounds the 1-pass-MXU speed ceiling but is too coarse to render with.
     cases = [
         ("vpu", 512, 1792),
         ("mxu_fast", 256, 1792),
@@ -50,6 +52,7 @@ def main():
         ("mxu_fast", 512, 448),
         ("mxu_bf16", 512, 896),
     ]
+    save_tiles = (ip.RAY_TILE, ip.TRI_TILE)
     for mode, rt, tt in cases:
         ip.RAY_TILE, ip.TRI_TILE = rt, tt
         ip._call_nearest.clear_cache()
@@ -64,6 +67,8 @@ def main():
         except Exception as e:
             print(f"{mode:9s} ({rt},{tt}) FAILED: {str(e)[:120]}", flush=True)
             continue
+        finally:
+            ip.RAY_TILE, ip.TRI_TILE = save_tiles
         line = (f"{mode:9s} ({rt:4d},{tt:4d}) nearest {t_n*1e3:6.2f} ms "
                 f"({N/t_n/1e6:5.1f} Mray/s)  "
                 f"occluded {t_o*1e3:6.2f} ms ({N/t_o/1e6:5.1f} Mray/s)")

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from monte_carlo_path_tracing_tpu.ops import intersect_pallas as ip
 from monte_carlo_path_tracing_tpu.ops import intersect_ref as ir
@@ -87,7 +88,10 @@ def test_occlusion_semantics():
 
 def test_mxu_fast_mode_agrees(rng_np):
     """bf16x3 dot mode vs the exact vpu mode: hits agree except on a tiny
-    fringe of accept-boundary cases; agreeing hits have ~f32-accurate t."""
+    fringe of accept-boundary cases. Nearest-hit t is recomputed exactly
+    outside the kernel, so agreement is probed through quantities that DO
+    flow through the approximate in-kernel dots: the accept/winner decisions
+    and the occlusion predicate."""
     T, N = 700, 513
     v0, e1, e2, ro, rd = _random_case(rng_np, T, N)
     ids = jnp.arange(T, dtype=jnp.int32)
@@ -98,7 +102,21 @@ def test_mxu_fast_mode_agrees(rng_np):
     assert (v0_ == v1_).mean() > 0.99
     m = v0_ & v1_ & (np.asarray(h0.tri_id) == np.asarray(h1.tri_id))
     assert m.mean() > 0.98 * v0_.mean()
-    rel = np.abs(np.asarray(h1.t)[m] - np.asarray(h0.t)[m]) / np.maximum(
-        np.asarray(h0.t)[m], 1e-3
+    # Occlusion goes through the approximate dots end-to-end (no exact
+    # recovery pass): require near-total agreement with the exact mode.
+    excl = jnp.full((N,), ir.NO_HIT, jnp.int32)
+    t_max = jnp.where(h0.valid, h0.t * 1.5, 10.0)
+    o0 = np.asarray(ip.occluded_pallas(ro, rd, W, ids, excl, t_max, mode="vpu"))
+    o1 = np.asarray(
+        ip.occluded_pallas(ro, rd, W, ids, excl, t_max, mode="mxu_fast")
     )
-    assert rel.max() < 1e-4
+    assert (o0 == o1).mean() > 0.995
+
+
+def test_unknown_dot_mode_raises(rng_np):
+    T, N = 16, 8
+    v0, e1, e2, ro, rd = _random_case(rng_np, T, N)
+    ids = jnp.arange(T, dtype=jnp.int32)
+    W = ir.pack_tri_matrix(v0, e1, e2)
+    with pytest.raises(ValueError, match="dot mode"):
+        ip.intersect_pallas(ro, rd, W, ids, mode="mxufast")
