@@ -31,6 +31,10 @@ REF_PATHS_PER_S = 136.0  # BASELINE.md, reference MIS 1x distance
 
 
 def main() -> None:
+    from monte_carlo_path_tracing_tpu.parallel.mesh import init_distributed_if_needed
+
+    init_distributed_if_needed()  # multi-host no-op unless under a launcher
+
     import jax
     import jax.numpy as jnp
 

@@ -196,6 +196,13 @@ def cmd_inverse(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Multi-host bring-up first — before any jax call touches the backend
+    # (parallel/mesh.py; no-op unless launched under a multi-process
+    # coordinator).
+    from monte_carlo_path_tracing_tpu.parallel.mesh import init_distributed_if_needed
+
+    init_distributed_if_needed()
+
     ap = argparse.ArgumentParser(prog="monte_carlo_path_tracing_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

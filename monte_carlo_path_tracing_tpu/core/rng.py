@@ -5,8 +5,18 @@ wall clock at every call site (quirk Q1; reference main.cpp:127-131,323-326,
 Mylight.cpp:107-108, BRDF.cpp:38-39) — irreproducible and correlated within a
 clock tick. The TPU-native design replaces it with jax's counter-based
 threefry: one base key per render, deterministically folded by
-(pixel/ray id, sample id, bounce, purpose). This makes CPU-oracle vs TPU
-image comparison exact-stream and gradients reproducible (SURVEY.md §7 Q1).
+(sample id, pixel id, bounce, purpose) — in that order — giving every
+(pixel, sample) path its own stream. The rendered image is therefore
+invariant to ray-chunk size, wavefront lane count, launch splitting, and
+device count (tests/test_render.py, test_regen.py pin this), and CPU-oracle
+vs TPU image comparison is exact-stream (SURVEY.md §7 Q1).
+
+Mechanics: the renderers build a *batched key array* (one key per lane,
+pixel id folded in) and pass it down; every helper here broadcasts over
+batched keys, so samplers and integrators are agnostic to whether they get
+one shared key (lane-indexed draws — used by the raw ``render_rays`` API
+when the caller has no pixel ids, e.g. the distributed train step) or
+per-lane keys (full stream discipline — both production renderers).
 
 Purpose constants keep independent decision streams decorrelated without
 splitting keys inside the hot loop (fold_in is a cheap hash, vmap-safe).
@@ -30,20 +40,63 @@ def base_key(seed: int) -> jax.Array:
     return jax.random.key(seed)
 
 
-def bounce_key(key: jax.Array, bounce, purpose: int) -> jax.Array:
-    """Key for a whole wavefront at a given bounce and purpose.
+def fold_in(key: jax.Array, data) -> jax.Array:
+    """``jax.random.fold_in`` broadcast over batched keys and/or [N] data.
 
-    Per-ray decorrelation comes from the ray-id axis via
-    :func:`uniform_per_ray`, not from per-ray key splitting — folding a
-    scalar key is O(1) instead of O(N) threefry invocations.
+    (scalar key, scalar data) -> scalar key; any [N] operand -> [N] keys.
     """
-    return jax.random.fold_in(jax.random.fold_in(key, bounce), purpose)
+    kdim = jnp.ndim(key)
+    ddim = jnp.ndim(data)
+    if kdim == 0 and ddim == 0:
+        return jax.random.fold_in(key, data)
+    if kdim == 0:
+        return jax.vmap(lambda d: jax.random.fold_in(key, d))(data)
+    if ddim == 0:
+        return jax.vmap(lambda k: jax.random.fold_in(k, data))(key)
+    return jax.vmap(jax.random.fold_in)(key, data)
+
+
+def lane_keys(key: jax.Array, lane_ids) -> jax.Array:
+    """[N] per-lane stream keys: one fold of the lane (pixel/sample) id."""
+    return fold_in(key, lane_ids)
+
+
+def bounce_key(key: jax.Array, bounce, purpose: int) -> jax.Array:
+    """Key(s) for one (bounce, purpose) decision. With a scalar key,
+    per-lane decorrelation comes from the batch axis of the draw; with a
+    batched key each lane owns an independent stream (and ``bounce`` may be
+    a per-lane array, as in the regeneration renderer)."""
+    return fold_in(fold_in(key, bounce), purpose)
 
 
 def sample_key(key: jax.Array, sample_id) -> jax.Array:
     """Key for one spp chunk (sample index folded in)."""
-    return jax.random.fold_in(key, sample_id)
+    return fold_in(key, sample_id)
 
 
 def uniform(key: jax.Array, shape, minval=0.0, maxval=1.0) -> jnp.ndarray:
-    return jax.random.uniform(key, shape, minval=minval, maxval=maxval, dtype=jnp.float32)
+    """Uniform draw; a batched [N] key draws ``shape[1:]`` per lane (so
+    ``shape[0]`` must equal the key batch)."""
+    if jnp.ndim(key) == 0:
+        return jax.random.uniform(
+            key, shape, minval=minval, maxval=maxval, dtype=jnp.float32
+        )
+    assert shape[0] == key.shape[0], (shape, key.shape)
+    return jax.vmap(
+        lambda k: jax.random.uniform(
+            k, shape[1:], minval=minval, maxval=maxval, dtype=jnp.float32
+        )
+    )(key)
+
+
+def categorical(key: jax.Array, logits: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """[n_rows] categorical draws from ``logits`` ([L] shared, or [n_rows, L]
+    per-row); a batched key uses one stream per row."""
+    if jnp.ndim(key) == 0:
+        if logits.ndim == 1:
+            return jax.random.categorical(key, logits, shape=(n_rows,))
+        return jax.random.categorical(key, logits, axis=-1)
+    assert key.shape[0] == n_rows, (key.shape, n_rows)
+    if logits.ndim == 1:
+        return jax.vmap(lambda k: jax.random.categorical(k, logits))(key)
+    return jax.vmap(jax.random.categorical)(key, logits)

@@ -12,7 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from monte_carlo_path_tracing_tpu.core import vecmath as vm
+from monte_carlo_path_tracing_tpu.core import rng, vecmath as vm
 from monte_carlo_path_tracing_tpu.ops.intersect_ref import Hit
 from monte_carlo_path_tracing_tpu.scene.types import Scene
 
@@ -113,7 +113,7 @@ def gather_interaction(
 def russian_roulette(key: jax.Array, n: int, p_survive: float):
     """Survive mask + 1/p weight (reference ksi > 0.6 => stop,
     main.cpp:321-329)."""
-    xi = jax.random.uniform(key, (n,))
+    xi = rng.uniform(key, (n,))
     return xi < p_survive, 1.0 / p_survive
 
 

@@ -232,7 +232,7 @@ def render_rays_shoot(
 
         def rej_body(t, carry):
             theta, done = carry
-            xi1 = rng.uniform(jax.random.fold_in(k_th, t), (N,))
+            xi1 = rng.uniform(rng.fold_in(k_th, t), (N,))
             cand = _inverse_F_theta(x, y, n_exp, xi1)
             take = ~done
             theta = jnp.where(take, cand, theta)

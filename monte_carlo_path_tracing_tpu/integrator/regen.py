@@ -11,10 +11,13 @@ natively as a `lax.while_loop` over fully-dense lane arrays with a
 scatter-add into the framebuffer at path death.
 
 Estimator semantics are identical to wavefront._run_mis / _run_split /
-_run_brdf (same NEE/MIS weights, RR, quirk flags); RNG streams are keyed
-per *sample id* (base key folded with the global sample index, then bounce
-and purpose), so the estimate is deterministic for a given (seed, lane
-count) and independent of chunk scheduling.
+_run_brdf (same NEE/MIS weights, RR, quirk flags). RNG streams follow the
+core/rng.py contract exactly: each lane's draws are keyed by
+fold(fold(fold(fold(base, spp index), global pixel id), depth), purpose) —
+a pure function of the (pixel, sample) path being traced — so the estimate
+is deterministic for a given seed and invariant to lane count, launch
+splitting, and device count, and the regeneration renderer consumes the
+SAME streams as the fixed-depth renderer (tests/test_regen.py pins both).
 
 This path is forward-only (while_loop is not reverse differentiable); the
 fixed-depth loop remains the differentiation path.
@@ -41,13 +44,6 @@ from monte_carlo_path_tracing_tpu.utils.config import (
 _SG = jax.lax.stop_gradient
 
 
-def _step_key(base_key, it, purpose):
-    """Key for one (iteration, purpose) batch draw. Lane decorrelation comes
-    from the batch axis; iteration indexing keeps the run deterministic for
-    a given (seed, lane count)."""
-    return jax.random.fold_in(jax.random.fold_in(base_key, it), purpose)
-
-
 def render_regen(
     scene: Scene,
     cfg: RenderConfig,
@@ -57,6 +53,7 @@ def render_regen(
     lanes: int = 1 << 16,
     pixel_offset=0,
     pixel_stride: int = 1,
+    spp0: int = 0,
 ):
     """Render `total_samples` paths distributed round-robin over `n_pix`
     local pixels; local pixel i maps to global image pixel
@@ -67,7 +64,12 @@ def render_regen(
     neighbouring pixels cost similar work, so interleaving balances load
     across devices far better than contiguous blocks (SURVEY.md §7 hard
     part 4) — while ray generation still uses global image coordinates
-    (see parallel.sharded.render_regen_sharded)."""
+    (see parallel.sharded.render_regen_sharded).
+
+    ``spp0`` is the global spp index of this launch's first sample round, so
+    multi-launch drivers (render/renderer.py) keep globally-keyed streams:
+    local sample s is spp round spp0 + s // n_pix of global pixel
+    (s % n_pix) * pixel_stride + pixel_offset."""
     accel = ops_intersect.build_accel(scene)
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
@@ -81,13 +83,20 @@ def render_regen(
 
     C = lanes
 
-    def primary_rays(pixel, it):
+    def lane_stream(sample, pixel):
+        """Per-lane stream keys per the core/rng.py contract: base folded by
+        (spp index, global pixel id) — matching render/renderer.py's
+        _sample_pass fold order exactly."""
+        k = rng.fold_in(base_key, spp0 + sample // n_pix)
+        return rng.fold_in(k, pixel * pixel_stride + pixel_offset)
+
+    def primary_rays(pixel, lk):
         i = (pixel // cam.width).astype(jnp.float32)
         j = (pixel % cam.width).astype(jnp.float32)
         if cfg.pixel_jitter:
-            off = jax.random.uniform(
-                _step_key(base_key, it, rng.P_PIXEL_JITTER), (C, 2)
-            ) - 0.5
+            off = rng.uniform(
+                rng.bounce_key(lk, 0, rng.P_PIXEL_JITTER), (C, 2), -0.5, 0.5
+            )
             i = i + off[:, 0]
             j = j + off[:, 1]
         dx = -plen * (i - (cam.height - 1) / 2.0)
@@ -105,6 +114,8 @@ def render_regen(
     def body(st):
         alive = st["alive"]
         depth = st["depth"]
+        # Stream keys of the (sample, pixel) each lane is currently tracing.
+        lk = lane_stream(st["sample"], st["pixel"])
 
         # ---- one bounce for live lanes (semantics of wavefront._run_mis
         #      / _run_split / _run_brdf depending on cfg.estimator) ----
@@ -143,7 +154,7 @@ def render_regen(
         # Russian roulette placement differs per estimator (Q6/§3.2-3.3):
         # mis: gates both strategies; split: only the continuation; brdf:
         # before the bounce.
-        xi_rr = jax.random.uniform(_step_key(base_key, st["iter"], rng.P_RR), (C,))
+        xi_rr = rng.uniform(rng.bounce_key(lk, depth, rng.P_RR), (C,))
         survive = xi_rr < cfg.rr_prob
         w_rr = 1.0 / cfg.rr_prob
 
@@ -153,7 +164,7 @@ def render_regen(
 
         # Light strategy / direct term.
         if cfg.estimator in (EST_MIS, EST_SPLIT):
-            kstep = _step_key(base_key, st["iter"], rng.P_LIGHT_SELECT)
+            kstep = rng.bounce_key(lk, depth, rng.P_LIGHT_SELECT)
             if cfg.estimator == EST_MIS:
                 if spherical:
                     ls, wsum = light_spherical.sample(kstep, scene, si.p, si.ns)
@@ -180,7 +191,7 @@ def render_regen(
             tp_rr = w_rr
 
         # BRDF bounce.
-        kstep_b = _step_key(base_key, st["iter"], rng.P_BSDF)
+        kstep_b = rng.bounce_key(lk, depth, rng.P_BSDF)
         bs = phong.sample_brdf(
             kstep_b, si.ns, si.wo, si.kd, si.ks, si.ns_exp,
             branch_pdf_compat=cfg.branch_pdf_compat,
@@ -246,7 +257,8 @@ def render_regen(
         # image pixel id (local + shard offset)
         pixel_new = (new_sample % n_pix).astype(jnp.int32)
         ro_new, rd_new = primary_rays(
-            pixel_new * pixel_stride + pixel_offset, st["iter"]
+            pixel_new * pixel_stride + pixel_offset,
+            lane_stream(new_sample, pixel_new),
         )
 
         alive_next = cont | take

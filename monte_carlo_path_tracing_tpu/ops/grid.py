@@ -43,7 +43,7 @@ from monte_carlo_path_tracing_tpu.ops.intersect_ref import (
 )
 from monte_carlo_path_tracing_tpu.scene.types import Scene
 
-_F32_MAX = jnp.float32(3.0e38)
+_F32_MAX = np.float32(3.0e38)  # numpy, not jnp: keep import device-free
 
 
 @jax.tree_util.register_dataclass

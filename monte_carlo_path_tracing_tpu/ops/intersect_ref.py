@@ -32,6 +32,7 @@ import dataclasses
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from monte_carlo_path_tracing_tpu.core import vecmath as vm
@@ -43,9 +44,11 @@ DET_EPS = 1e-9
 #: *neighbouring* triangles at shared edges.
 T_EPS = 1e-4
 
-#: Sentinel for "no hit".
-NO_HIT = jnp.int32(-1)
-BIG_T = jnp.float32(3.0e38)
+#: Sentinel for "no hit". numpy scalars, NOT jnp — module-level jnp values
+#: would initialize the device backend at import time, which must stay
+#: deferred until after jax.distributed.initialize() (parallel/mesh.py).
+NO_HIT = np.int32(-1)
+BIG_T = np.float32(3.0e38)
 
 
 @jax.tree_util.register_dataclass

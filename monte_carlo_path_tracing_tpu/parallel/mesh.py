@@ -52,14 +52,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def init_distributed_if_needed() -> None:
-    """Multi-host bring-up (no-op on a single process). The TPU analogue of
-    an MPI/NCCL init that the reference never had."""
-    if jax.process_count() > 1:
-        return
-    # jax.distributed.initialize is required only under a multi-process
-    # launcher; detect via the standard env vars and leave single-process
-    # runs untouched.
+    """Multi-host bring-up — the TPU analogue of the MPI/NCCL init the
+    reference never had (it is single-process, SURVEY.md §5).
+
+    MUST be called before anything touches the jax backend: jax.devices()
+    or jax.process_count() initialize it, after which
+    jax.distributed.initialize() raises. The launcher is detected purely
+    from environment variables (no jax calls):
+
+      - explicit: JAX_COORDINATOR_ADDRESS (or COORDINATOR_ADDRESS) +
+        JAX_NUM_PROCESSES + JAX_PROCESS_ID — used by the multi-process
+        CPU-mesh test (tests/test_multiprocess.py) and manual launches;
+      - auto: cloud TPU pod / SLURM environments, where
+        jax.distributed.initialize() self-configures.
+
+    Single-process runs (none of the variables set) are untouched. Calling
+    twice is a no-op. cli.main() and bench.py call this first thing.
+    """
     import os
 
-    if "COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
-        jax.distributed.initialize()
+    if jax.distributed.is_initialized():
+        return
+    env = os.environ
+    addr = env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS")
+    nproc = env.get("JAX_NUM_PROCESSES")
+    pid = env.get("JAX_PROCESS_ID")
+    auto = any(
+        v in env for v in ("SLURM_JOB_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if addr is None and not auto:
+        return
+    kwargs = {}
+    if addr is not None:
+        kwargs["coordinator_address"] = addr
+    if nproc is not None:
+        kwargs["num_processes"] = int(nproc)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)

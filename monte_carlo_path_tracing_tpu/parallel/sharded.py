@@ -77,12 +77,14 @@ def make_regen_sharded(
 
     def shard_fn(sc, key, spp):
         d = jax.lax.axis_index(AXIS_TILES)
-        key_d = jax.random.fold_in(key, d)
         # Interleaved assignment (device d owns pixels d, d+nd, ...):
         # neighbouring pixels cost similar work, so this balances the
         # RR-driven load variance across devices (SURVEY.md §7 #4).
+        # Streams are keyed by GLOBAL (spp round, pixel id) inside
+        # render_regen — no per-device key fold — so the image is invariant
+        # to the device count (tests/test_parallel.py pins 1- vs N-device).
         fb, nrays, _ = render_regen(
-            sc, cfg, key_d, local, local * spp,
+            sc, cfg, key, local, local * spp,
             lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
         )
         return fb, jax.lax.psum(nrays, AXIS_TILES)

@@ -35,11 +35,17 @@ class RenderResult:
 
 def _sample_pass(scene: Scene, cfg: RenderConfig, key, pixel_idx, sample_id,
                  accel=None):
-    """Radiance of one sample for each pixel in the chunk — jitted once."""
-    skey = rng.sample_key(key, sample_id)
-    jitter = rng.bounce_key(skey, 0, rng.P_PIXEL_JITTER) if cfg.pixel_jitter else None
+    """Radiance of one sample for each pixel in the chunk — jitted once.
+
+    Stream discipline (core/rng.py): each lane's key is
+    fold(fold(base, sample_id), pixel_id), so the draws a pixel consumes are
+    a function of (seed, pixel, sample) only — the image is invariant to
+    `ray_chunk` (tests/test_render.py::test_chunk_invariance) and identical
+    to the regeneration renderer's streams."""
+    lane = rng.lane_keys(rng.sample_key(key, sample_id), pixel_idx)
+    jitter = rng.bounce_key(lane, 0, rng.P_PIXEL_JITTER) if cfg.pixel_jitter else None
     ro, rd = generate_rays(scene.camera, pixel_idx, jitter_key=jitter)
-    return render_rays(scene, cfg, skey, ro, rd, accel=accel)
+    return render_rays(scene, cfg, lane, ro, rd, accel=accel)
 
 
 def render_image_regen(
@@ -55,8 +61,8 @@ def render_image_regen(
     `max_samples_per_launch` paths: a single multi-minute while_loop
     execution can trip device-side execution watchdogs (observed on v5e),
     and per-launch splitting also gives progressive accumulation for free.
-    Each launch folds its index into the base key so sample streams stay
-    independent across launches.
+    Streams are keyed by global (spp index, pixel id) — `spp0` rides into
+    each launch — so the image is invariant to the launch split.
     """
     from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
 
@@ -71,25 +77,26 @@ def render_image_regen(
     spp_per_launch = max(1, min(cfg.spp, max_samples_per_launch // n_pix))
 
     fn = jax.jit(
-        lambda sc, k, tot: render_regen(sc, cfg, k, n_pix, tot, lanes=lanes)
+        lambda sc, k, tot, s0: render_regen(
+            sc, cfg, k, n_pix, tot, lanes=lanes, spp0=s0
+        )
     )
     # warmup excluded from `seconds` (the traced sample count means the
     # tiny run compiles the same program as the real one)
-    jax.block_until_ready(fn(scene, key, jnp.int32(min(lanes, total))))
+    jax.block_until_ready(
+        fn(scene, key, jnp.int32(min(lanes, total)), jnp.int32(0))
+    )
 
     t0 = time.perf_counter()
     fb_acc = np.zeros((n_pix, 3), np.float32)
     rays = 0.0
     done = 0
-    launch = 0
     while done < cfg.spp:
         step = min(spp_per_launch, cfg.spp - done)
-        k = jax.random.fold_in(key, launch)
-        fb, nrays, _ = fn(scene, k, jnp.int32(n_pix * step))
+        fb, nrays, _ = fn(scene, key, jnp.int32(n_pix * step), jnp.int32(done))
         fb_acc += np.asarray(fb)
         rays += float(nrays)
         done += step
-        launch += 1
     seconds = time.perf_counter() - t0
     image = (fb_acc / cfg.spp).reshape(cam.height, cam.width, 3)
     return RenderResult(

@@ -30,7 +30,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from monte_carlo_path_tracing_tpu.core import vecmath as vm
+from monte_carlo_path_tracing_tpu.core import rng, vecmath as vm
 from monte_carlo_path_tracing_tpu.core.radiometry import radiance_sum
 from monte_carlo_path_tracing_tpu.sampling.light_uniform import LightSample
 from monte_carlo_path_tracing_tpu.scene.types import Scene
@@ -229,7 +229,7 @@ def _arvo_warp(key, A, B, C, alpha, cos_c, sA):
     angle itself). Returns unit direction P. Batched over leading axes.
     """
     N = A.shape[0]
-    xi = jax.random.uniform(key, (N, 2))
+    xi = rng.uniform(key, (N, 2))
     sA1 = xi[:, 0] * sA
     s = jnp.sin(sA1 - alpha)
     t = jnp.cos(sA1 - alpha)
@@ -258,7 +258,7 @@ def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     rays with no projectable light triangle get the reference's dummy
     below-surface sample with pdf 1 and valid=False (Mylight.cpp:427-430).
     """
-    k_sel, k_warp = jax.random.split(key)
+    k_sel, k_warp = rng.fold_in(key, 0), rng.fold_in(key, 1)
     weights, weights_sum = prepare(scene, x1, n)
     has = weights_sum > EPS
 
@@ -266,7 +266,7 @@ def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     # Guard all -inf rows (categorical would produce garbage): give them a
     # uniform dummy row; the sample is flagged invalid anyway.
     logits = jnp.where(has[:, None], logits, 0.0)
-    lidx = jax.random.categorical(k_sel, logits, axis=-1)            # [N]
+    lidx = rng.categorical(k_sel, logits, x1.shape[0])               # [N]
 
     rec = light_table(scene)[lidx]                       # [N,16] single gather
     pa_s, pb_s, pc_s = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]

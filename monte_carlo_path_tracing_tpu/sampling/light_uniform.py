@@ -20,6 +20,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from monte_carlo_path_tracing_tpu.core import rng
 from monte_carlo_path_tracing_tpu.core.radiometry import radiance_sum
 from monte_carlo_path_tracing_tpu.scene.types import Scene
 
@@ -79,10 +80,10 @@ def pack_table(scene: Scene) -> jnp.ndarray:
 def sample(key: jax.Array, scene: Scene, n_rays: int) -> LightSample:
     """Draw one light point per ray (batched)."""
     p_sel = select_table(scene)
-    k_sel, k_warp = jax.random.split(key)
+    k_sel, k_warp = rng.fold_in(key, 0), rng.fold_in(key, 1)
     logits = jnp.log(jnp.maximum(p_sel, 1e-30))
-    lidx = jax.random.categorical(k_sel, logits, shape=(n_rays,))  # [N]
-    xi = jax.random.uniform(k_warp, (n_rays, 2))
+    lidx = rng.categorical(k_sel, logits, n_rays)                  # [N]
+    xi = rng.uniform(k_warp, (n_rays, 2))
 
     beta = 1.0 - jnp.sqrt(jnp.maximum(1.0 - xi[:, 0], 0.0))
     gamma = (1.0 - beta) * xi[:, 1]

@@ -37,7 +37,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from monte_carlo_path_tracing_tpu.core import vecmath as vm
+from monte_carlo_path_tracing_tpu.core import rng, vecmath as vm
 
 INV_PI = 1.0 / math.pi
 INV_2PI = 1.0 / (2.0 * math.pi)
@@ -103,9 +103,8 @@ def sample_brdf(
 ) -> BsdfSample:
     """Draw wi ~ the two-lobe Phong mixture (BRDF.cpp:28-100)."""
     N = n.shape[0]
-    k_lobe, k_warp = jax.random.split(key)
-    xi_lobe = jax.random.uniform(k_lobe, (N,))
-    xi = jax.random.uniform(k_warp, (N, 2))
+    xi_lobe = rng.uniform(rng.fold_in(key, 0), (N,))
+    xi = rng.uniform(rng.fold_in(key, 1), (N, 2))
 
     pd, ps = lobe_probs(kd, ks)
     pick_spec = xi_lobe >= pd

@@ -56,6 +56,54 @@ def test_regen_deterministic(cornell_scene):
     np.testing.assert_array_equal(a, b)
 
 
+def test_regen_lane_count_invariance(cornell_scene):
+    """Streams are keyed by (spp, pixel, depth, purpose) — NOT by lane or
+    iteration — so the estimate is invariant to the wavefront width (up to
+    f32 round-off: the lane count is the intersection batch size, which
+    changes XLA's matmul tiling by ~1 ulp)."""
+    scene = _small(cornell_scene)
+    cfg = RenderConfig(width=24, height=24, spp=1, estimator="mis", seed=5,
+                       max_depth=32)
+    a = render_image_regen(scene, cfg, lanes=256).image
+    b = render_image_regen(scene, cfg, lanes=2048).image
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    cfg2 = cfg.replace(spp=3)
+    c = render_image_regen(scene, cfg2, lanes=256).image
+    d = render_image_regen(scene, cfg2, lanes=2048).image
+    np.testing.assert_allclose(c, d, rtol=1e-5, atol=1e-6)
+
+
+def test_regen_launch_split_invariance(cornell_scene):
+    """Splitting a render into multiple device launches must not change the
+    image: streams are keyed by global spp round via spp0."""
+    scene = _small(cornell_scene)
+    cfg = RenderConfig(width=24, height=24, spp=4, estimator="mis", seed=7,
+                       max_depth=32)
+    a = render_image_regen(scene, cfg, lanes=512).image
+    b = render_image_regen(
+        scene, cfg, lanes=512, max_samples_per_launch=24 * 24
+    ).image  # one spp per launch
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("estimator", ["brdf", "split", "mis"])
+def test_regen_matches_fixed_depth_exactly(cornell_scene, estimator):
+    """The regeneration renderer and the fixed-depth wavefront consume the
+    SAME per-(pixel, sample, depth, purpose) threefry streams, so at a depth
+    bound no path reaches (P(depth>32) = 0.6^32 ~ 8e-8) the two renderers
+    produce the same image to f32 round-off — the strongest equivalence
+    check between the two integrator drivers."""
+    scene = _small(cornell_scene)
+    cfg = RenderConfig(
+        width=24, height=24, spp=2, estimator=estimator,
+        light_sampler="spherical_triangle", max_depth=32, seed=11,
+        ray_chunk=24 * 24,
+    )
+    a = render_image(scene, cfg).image
+    b = render_image_regen(scene, cfg, lanes=512).image
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_regen_ref_mis_weights_and_uniform_sampler(cornell_scene):
     """Compat/alternative sampler paths run in regen and produce sane images."""
     scene = _small(cornell_scene)
