@@ -105,7 +105,7 @@ def main() -> None:
         jax.block_until_ready(run_jit(scene, key, jnp.int32(warm_samples)))
 
         t0 = time.perf_counter()
-        fb, nrays, iters = run_jit(scene, key, jnp.int32(total_samples))
+        fb, nrays, iters, _ = run_jit(scene, key, jnp.int32(total_samples))
         jax.block_until_ready(fb)
         dt = time.perf_counter() - t0
         total_rays = int(nrays)

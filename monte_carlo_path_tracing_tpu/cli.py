@@ -51,6 +51,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--measure-bug-compat", action="store_true")
     p.add_argument("--branch-pdf-compat", action="store_true")
     p.add_argument("--ref-mis-weights", action="store_true")
+    p.add_argument(
+        "--ref-mis-full", action="store_true",
+        help="full reference MIS parity: ref weights + occluded-blocker "
+             "recursion via the regen work queue (implies --ref-mis-weights "
+             "and --regen)",
+    )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--impl", default=None, choices=[None, "pallas", "matmul"],
                    help="intersection implementation (default auto)")
@@ -97,7 +103,8 @@ def _make_cfg(args, cam):
         fov_bug_compat=args.fov_bug_compat,
         measure_bug_compat=args.measure_bug_compat,
         branch_pdf_compat=args.branch_pdf_compat,
-        ref_mis_weights=args.ref_mis_weights,
+        ref_mis_weights=args.ref_mis_weights or getattr(args, "ref_mis_full", False),
+        mis_blocker_compat=getattr(args, "ref_mis_full", False),
         use_pallas=None if args.impl is None else (args.impl == "pallas"),
         dot_mode=args.dot_mode,
         accel=args.accel,
@@ -122,6 +129,8 @@ def cmd_render(args) -> int:
         except FileNotFoundError:
             pass
 
+    if getattr(args, "ref_mis_full", False):
+        args.regen = True   # the blocker queue lives in the regen renderer
     if args.regen:
         from monte_carlo_path_tracing_tpu.render.renderer import render_image_regen
 

@@ -44,6 +44,42 @@ from monte_carlo_path_tracing_tpu.utils.config import (
 _SG = jax.lax.stop_gradient
 
 
+def _nee_full(scene, cfg, accel, tri_to_light, si, ls, alive):
+    """Reference MIS light strategy WITH occluder shading
+    (/root/reference/main.cpp:450-464): the light ray's nearest hit is
+    shaded whatever it is — an emissive front hit contributes its radiance
+    inline (the common case, identical to NEE), a non-emissive front hit
+    becomes a blocker-chain seed traced as a continuation path through the
+    caller's work queue. Returns (contrib [N,3], spawn [N], wl [N,3],
+    w_chain [N,3] = f * cos / (p_light + p_brdf))."""
+    wl_raw = ls.coord - si.p
+    dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
+    wl = wl_raw / jnp.sqrt(dist2)[:, None]
+    cos_x = vm.dot(wl, si.ns)
+    ok = alive & ls.valid & (cos_x > 0.0)
+
+    lh = ops_intersect.intersect(
+        accel, si.p, wl, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode
+    )
+    si2 = common.gather_interaction(scene, lh, wl, tri_to_light)
+
+    if cfg.light_sampler == LS_SPHERICAL:
+        p_light = ls.pdf
+    else:
+        p_light = common.area_pdf_to_solid_angle(
+            ls.pdf, dist2, -vm.dot(wl, ls.nl)
+        )
+    p_b = phong.pdf_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
+    denom = _SG(jnp.maximum(p_light + p_b, 1e-20))
+    f = phong.eval_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
+    w_chain = f * (cos_x / denom)[:, None]
+
+    emit_now = ok & lh.valid & si2.front & si2.is_light
+    contrib = jnp.where(emit_now[:, None], w_chain * si2.emission, 0.0)
+    spawn = ok & lh.valid & si2.front & ~si2.is_light
+    return contrib, spawn, wl, w_chain
+
+
 def render_regen(
     scene: Scene,
     cfg: RenderConfig,
@@ -74,6 +110,15 @@ def render_regen(
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
     )
+    # Blocker-chain work queue (cfg.mis_blocker_compat): the reference's MIS
+    # recursion is a 2-ary tree (quirk Q11) whose light branch shades the
+    # occluder of a blocked light ray; here those recursions become queued
+    # continuation paths that free lanes pull before new camera samples —
+    # the regeneration machinery doubles as the tree scheduler. Chains draw
+    # from streams keyed by a unique synthetic sample id past the real
+    # range (scheduler-dependent but collision-free; the estimator mean is
+    # scheduling-invariant regardless).
+    blocker = bool(cfg.mis_blocker_compat) and cfg.estimator == EST_MIS
     tri_to_light = common.light_index_table(scene)
     spherical = cfg.light_sampler == LS_SPHERICAL
     cam = scene.camera
@@ -108,10 +153,66 @@ def render_regen(
         ro = jnp.broadcast_to(cam.eye, rd.shape)
         return ro, rd
 
+    # Scene bounds for the lane-sort morton key (padding AABB rows are
+    # +/-inf sentinels — mask them out).
+    if getattr(accel, "aabb_lo", None) is not None:
+        _fin_lo = jnp.where(jnp.isfinite(accel.aabb_lo), accel.aabb_lo, jnp.inf)
+        _fin_hi = jnp.where(jnp.isfinite(accel.aabb_hi), accel.aabb_hi, -jnp.inf)
+        scene_lo = jnp.min(_fin_lo, axis=0)
+        scene_inv = 1.0 / jnp.maximum(jnp.max(_fin_hi, axis=0) - scene_lo, 1e-20)
+    else:
+        scene_lo = scene_inv = None
+
+    _LANE_ARRAYS = (
+        "alive", "pixel", "sample", "depth", "ro", "rd", "excl", "tp", "L",
+        "prev_pb", "prev_p", "prev_ns", "prev_w",
+    )
+
+    def _spread5(x):  # 5 bits -> every 3rd bit of 15
+        x = (x | (x << 8)) & 0x0100F
+        x = (x | (x << 4)) & 0x010C3
+        x = (x | (x << 2)) & 0x09249
+        return x
+
+    def sort_lanes(st):
+        """Reorder lanes by (direction octant, origin morton) so each
+        RAY_TILE-sized kernel tile is spatially/directionally coherent and
+        the conservative tri-tile culling (ops/intersect_pallas.py) bites.
+        Pure permutation of per-lane state: every draw is keyed by the
+        lane's (sample, pixel, depth), so the estimate is unchanged."""
+        ro, rd = st["ro"], st["rd"]
+        q = jnp.clip(
+            ((ro - scene_lo) * scene_inv * 31.0).astype(jnp.int32), 0, 31
+        )
+        morton = (
+            _spread5(q[:, 0]) | (_spread5(q[:, 1]) << 1)
+            | (_spread5(q[:, 2]) << 2)
+        )
+        # Direction key: 3 bits per axis (not just the octant sign) — a
+        # 512-lane tile then spans a ~1/8-radian cone, which is what makes
+        # the per-tile direction interval in the cull test tight enough to
+        # bound t_enter for primary fans as well as bounce rays.
+        dq = jnp.clip(((rd * 0.5 + 0.5) * 7.0).astype(jnp.int32), 0, 7)
+        dkey = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
+        # idle lanes sort to the back so live work stays dense in tiles
+        key = jnp.where(st["alive"], (dkey << 15) | morton, jnp.int32(1 << 30))
+        order = jnp.argsort(key)
+        out = dict(st)
+        for k in _LANE_ARRAYS:
+            out[k] = st[k][order]
+        return out
+
+    do_sort = cfg.ray_sort and scene_lo is not None
+
     def cond(st):
-        return (st["counter"] < total_samples) | jnp.any(st["alive"])
+        more = (st["counter"] < total_samples) | jnp.any(st["alive"])
+        if blocker:
+            more = more | (st["buf_count"] > 0)
+        return more
 
     def body(st):
+        if do_sort:
+            st = sort_lanes(st)
         alive = st["alive"]
         depth = st["depth"]
         # Stream keys of the (sample, pixel) each lane is currently tracing.
@@ -172,7 +273,14 @@ def render_regen(
                     ls = light_uniform.sample(kstep, scene, C)
                     wsum = jnp.zeros((C,))
                 nrays = nrays + jnp.sum(cont.astype(jnp.float32))
-                L = L + tp * _nee_term(scene, cfg, accel, si, ls, wsum, cont)
+                if blocker:
+                    nee, spawn, wl_sp, w_chain = _nee_full(
+                        scene, cfg, accel, tri_to_light, si, ls, cont
+                    )
+                    L = L + tp * nee
+                    chain_tp = tp * w_chain
+                else:
+                    L = L + tp * _nee_term(scene, cfg, accel, si, ls, wsum, cont)
             else:
                 ls, wsum_ = _sample_light(kstep, scene, cfg, si)
                 wsum = jnp.zeros((C,))
@@ -247,10 +355,44 @@ def render_regen(
         )
 
         free = died | ~alive            # dead now, or idle from before
+
+        out = {}
+        if blocker:
+            # ---- enqueue this bounce's blocker chains ----
+            B = C                       # queue capacity = lane count
+            rank_s = jnp.cumsum(spawn.astype(jnp.int32)) - 1
+            slot = st["buf_count"] + rank_s
+            can = spawn & (slot < B)
+            idx_w = jnp.where(can, slot, B)      # row B = overflow sink
+            chain_sample = total_samples + st["chain_counter"] + rank_s
+            out["buf_ro"] = st["buf_ro"].at[idx_w].set(si.p)
+            out["buf_rd"] = st["buf_rd"].at[idx_w].set(wl_sp)
+            out["buf_tp"] = st["buf_tp"].at[idx_w].set(chain_tp)
+            out["buf_pixel"] = st["buf_pixel"].at[idx_w].set(st["pixel"])
+            out["buf_excl"] = st["buf_excl"].at[idx_w].set(si.tri_id)
+            out["buf_sample"] = st["buf_sample"].at[idx_w].set(chain_sample)
+            out["buf_depth"] = st["buf_depth"].at[idx_w].set(depth + 1)
+            n_spawn = jnp.sum(can.astype(jnp.int32))
+            buf_count = st["buf_count"] + n_spawn
+            out["chain_counter"] = st["chain_counter"] + n_spawn
+            out["spilled"] = st["spilled"] + jnp.sum(
+                (spawn & ~can).astype(jnp.int32)
+            )
+
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        if blocker:
+            # ---- dequeue: free lanes pull queued chains (LIFO) first ----
+            take_chain = free & (rank < buf_count)
+            src = jnp.clip(buf_count - 1 - rank, 0, B)
+            rank_new = rank - buf_count
+            out["buf_count"] = buf_count - jnp.sum(take_chain.astype(jnp.int32))
+        else:
+            take_chain = jnp.zeros((C,), bool)
+            src = jnp.zeros((C,), jnp.int32)
+            rank_new = rank
         avail = total_samples - st["counter"]
-        take = free & (rank < avail)
-        new_sample = st["counter"] + rank
+        take = free & ~take_chain & (rank_new < avail)
+        new_sample = st["counter"] + rank_new
         n_taken = jnp.sum(take.astype(jnp.int32))
 
         # local fb index in [0, n_pix); ray generation uses the global
@@ -261,17 +403,31 @@ def render_regen(
             lane_stream(new_sample, pixel_new),
         )
 
-        alive_next = cont | take
-        return {
-            "alive": alive_next,
-            "pixel": jnp.where(take, pixel_new, st["pixel"]),
-            "sample": jnp.where(take, new_sample, st["sample"]),
-            "depth": jnp.where(take, 0, depth + 1),
-            "ro": jnp.where(take[:, None], ro_new, si.p),
-            "rd": jnp.where(take[:, None], rd_new, bs.wi),
-            "excl": jnp.where(take, ops_intersect.NO_HIT, hit.tri_id),
-            "tp": jnp.where(take[:, None], 1.0, tp),
-            "L": jnp.where(take[:, None], 0.0, L),
+        def sel(a, b, c):
+            """take -> a (new sample), take_chain -> b (queued chain),
+            else -> c (continuation)."""
+            tk, tc = take, take_chain
+            if a.ndim > 1:
+                tk, tc = take[:, None], take_chain[:, None]
+            return jnp.where(tk, a, jnp.where(tc, b, c) if blocker else c)
+
+        bq = (lambda k: st["buf_" + k][src]) if blocker else (lambda k: 0)
+        out.update({
+            "alive": cont | take | take_chain,
+            "pixel": sel(pixel_new, bq("pixel"), st["pixel"]),
+            "sample": sel(new_sample, bq("sample"), st["sample"]),
+            "depth": sel(jnp.zeros((C,), jnp.int32), bq("depth"), depth + 1),
+            "ro": sel(ro_new, bq("ro"), si.p),
+            "rd": sel(rd_new, bq("rd"), bs.wi),
+            "excl": sel(
+                jnp.full((C,), ops_intersect.NO_HIT, jnp.int32),
+                bq("excl"), hit.tri_id,
+            ),
+            "tp": sel(jnp.ones((C, 3)), bq("tp"), tp),
+            "L": jnp.where((take | take_chain)[:, None], 0.0, L),
+            # prev_* feed the balance-heuristic emission weight, which
+            # blocker mode never uses (it implies ref_mis_weights) — chains
+            # may inherit stale values harmlessly.
             "prev_pb": jnp.where(take, 1.0, _SG(bs.pdf)),
             "prev_p": jnp.where(take[:, None], ro_new, si.p),
             "prev_ns": jnp.where(take[:, None], rd_new, si.ns),
@@ -280,7 +436,8 @@ def render_regen(
             "fb": fb,
             "nrays": nrays,
             "iter": st["iter"] + 1,
-        }
+        })
+        return out
 
     zero3 = jnp.zeros((C, 3))
     st = {
@@ -302,5 +459,19 @@ def render_regen(
         "nrays": jnp.zeros((), jnp.float32),
         "iter": jnp.zeros((), jnp.int32),
     }
+    if blocker:
+        st.update({
+            "buf_ro": jnp.zeros((C + 1, 3)),
+            "buf_rd": jnp.zeros((C + 1, 3)),
+            "buf_tp": jnp.zeros((C + 1, 3)),
+            "buf_pixel": jnp.zeros((C + 1,), jnp.int32),
+            "buf_excl": jnp.full((C + 1,), ops_intersect.NO_HIT, jnp.int32),
+            "buf_sample": jnp.zeros((C + 1,), jnp.int32),
+            "buf_depth": jnp.zeros((C + 1,), jnp.int32),
+            "buf_count": jnp.zeros((), jnp.int32),
+            "chain_counter": jnp.zeros((), jnp.int32),
+            "spilled": jnp.zeros((), jnp.int32),
+        })
     st = jax.lax.while_loop(cond, body, st)
-    return st["fb"][:n_pix], st["nrays"], st["iter"]
+    spilled = st["spilled"] if blocker else jnp.zeros((), jnp.int32)
+    return st["fb"][:n_pix], st["nrays"], st["iter"], spilled

@@ -77,6 +77,12 @@ def render_rays(
     ``cfg.accel == "grid"`` and a *traced* scene callers must prebuild the
     grid eagerly and pass it here (render/renderer.py does).
     """
+    if cfg.mis_blocker_compat:
+        raise NotImplementedError(
+            "mis_blocker_compat (the reference's occluded-blocker recursion) "
+            "is a work-queue feature of the regeneration renderer — use "
+            "render_image_regen / integrator.regen.render_regen"
+        )
     if cfg.estimator == EST_SHOOT:
         # Legacy C17 estimator lives in its own module (dead code in the
         # reference; inventory parity only).

@@ -44,18 +44,57 @@ TRI_BLOCK = 512
 class TriAccel:
     W: jnp.ndarray        # [Tpad, 10, 4] packed coefficient matrices
     tri_ids: jnp.ndarray  # [Tpad] int32 global ids (padding rows: -2)
+    # Per-triangle AABBs in MORTON-SORTED order (same order as W), used by
+    # the pallas kernels to build per-triangle-tile bounds for conservative
+    # (ray tile x triangle tile) culling — the TPU-native answer to the
+    # reference's uniform-grid traversal (Myobj.cpp:334-474): spatially
+    # compact dense tiles skipped by a scalar predicate instead of a
+    # divergent per-ray cell walk. Padding rows are (+inf, -inf) = empty,
+    # so padding tiles cull themselves. None (e.g. hand-built test accels)
+    # disables culling.
+    aabb_lo: jnp.ndarray | None = None  # [Tpad, 3]
+    aabb_hi: jnp.ndarray | None = None  # [Tpad, 3]
+
+
+def _morton_order(v0, e1, e2):
+    """Sort order by 3x10-bit interleaved Morton code of the centroid —
+    makes consecutive triangles (=> kernel tiles) spatially compact."""
+    c = v0 + (e1 + e2) / 3.0
+    lo = jnp.min(jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2)), axis=0)
+    hi = jnp.max(jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2)), axis=0)
+    q = jnp.clip(
+        ((c - lo) / jnp.maximum(hi - lo, 1e-20) * 1023.0).astype(jnp.int32),
+        0, 1023,
+    )
+
+    def spread(x):  # 10 bits -> every 3rd bit of 30
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.argsort(code)
 
 
 def _build(v0, e1, e2, ids, block: int) -> TriAccel:
+    order = _morton_order(v0, e1, e2)
+    v0, e1, e2, ids = v0[order], e1[order], e2[order], ids[order]
     T = v0.shape[0]
     W = pack_tri_matrix(v0, e1, e2)
+    lo = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
+    hi = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
     pad = (-T) % block
     if pad:
         W = jnp.concatenate([W, jnp.zeros((pad, 10, 4), W.dtype)], axis=0)
         ids = jnp.concatenate([ids, jnp.full((pad,), -2, jnp.int32)], axis=0)
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), jnp.inf, lo.dtype)], axis=0)
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -jnp.inf, hi.dtype)], axis=0)
     # Geometry is not a differentiation target (materials/emission are);
     # make that explicit so the accel never drags grads through packing.
-    return TriAccel(W=jax.lax.stop_gradient(W), tri_ids=ids)
+    sg = jax.lax.stop_gradient
+    return TriAccel(W=sg(W), tri_ids=ids, aabb_lo=sg(lo), aabb_hi=sg(hi))
 
 
 def build_accel(scene: Scene, block: int = TRI_BLOCK) -> TriAccel:
@@ -97,7 +136,8 @@ def intersect(
         from monte_carlo_path_tracing_tpu.ops import intersect_pallas
 
         return intersect_pallas.intersect_pallas(
-            ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps, mode=mode
+            ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps, mode=mode,
+            aabb_lo=accel.aabb_lo, aabb_hi=accel.aabb_hi,
         )
     if impl == "matmul":
         return intersect_ref.intersect_matmul(
@@ -144,7 +184,7 @@ def occluded(
             exclude_id = jnp.full((ro.shape[0],), NO_HIT, jnp.int32)
         return intersect_pallas.occluded_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps,
-            mode=mode,
+            mode=mode, aabb_lo=accel.aabb_lo, aabb_hi=accel.aabb_hi,
         )
     hit = intersect_ref.intersect_matmul(
         ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps

@@ -36,12 +36,15 @@ from monte_carlo_path_tracing_tpu.ops.intersect_ref import (
     BIG_T, DET_EPS, Hit, NO_HIT, T_EPS, ray_features,
 )
 
-#: Tile sizes from a v5e sweep (65k rays x 3584 tris): (512, 1792) beat the
-#: original (256, 512) by 21%/14% on nearest/occlusion — fewer, fatter
-#: tiles amortise the per-tile reduction and loop overhead. TRI_TILE adapts
-#: down to one 512-multiple for small scenes so they don't pay padding.
+#: Tile sizes from v5e sweeps (65k rays x 3584 tris). Without culling,
+#: tile size is a wash (7.1-8.6 ms across 128..1792); WITH the morton-tile
+#: culling the small 128-triangle tiles win decisively (scripts/
+#: tpu_cull_bench.py: occluded 5.5 -> 2.0 ms, nearest 7.2 -> 6.1 ms on
+#: coherent tiles at density ~0.5) because skipping is per-tile — finer
+#: tiles, finer skips. TRI_TILE adapts up to one 512-multiple for tiny
+#: scenes so they don't pay padding.
 RAY_TILE = 512
-TRI_TILE = 1792
+TRI_TILE = 128
 
 
 def _tri_tile(T: int) -> int:
@@ -108,7 +111,18 @@ def _dot(g, w, mode):
 
 
 def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode):
-    """Shared per-tile accept computation. Returns (ok, tp, adet, ids)."""
+    """Shared per-tile accept computation. Returns (margin, tp, adet):
+    a triangle is accepted iff margin > 0.
+
+    The five accept conditions (|det|>eps, u>=0, v>=0, u+v<=det, t>t_eps —
+    reference Myobj.cpp:175-188, all scaled by |det|) are folded into ONE
+    min-composed margin (accept iff margin >= 0) instead of five compares +
+    five ands: each VPU min replaces a compare+and pair, and the exclusion
+    test (quirk Q8) rides as a select to -1. Exact-edge hits (u == 0 etc.,
+    real on axis-aligned scenes) keep their >= accept; only the two eps
+    thresholds flip from strict > to >= — a measure-zero, harmless change.
+    This is the accept-test-bound kernel's hot elementwise path — every op
+    here costs ~0.06 ms per 64k-ray x 3584-tri launch."""
     det = _dot(g, w_ref[b, 0], mode)      # [RT, TT]
     u_num = _dot(g, w_ref[b, 1], mode)
     v_num = _dot(g, w_ref[b, 2], mode)
@@ -116,32 +130,36 @@ def _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode):
     ids = ids_ref[b]                # [TT] i32
 
     s = jnp.sign(det)
-    adet = jnp.abs(det)
+    adet = det * s
     up = u_num * s
     vp = v_num * s
     tp = t_num * s
-    ok = (
-        (adet > DET_EPS)
-        & (up >= 0.0)
-        & (vp >= 0.0)
-        & (up + vp <= adet)
-        & (tp > t_eps * adet)
-        & (ids[None, :] != excl)
-    )
-    safe_det = jnp.where(adet > 0, det, 1.0)
-    return ok, t_num / safe_det, adet, ids
+    m = jnp.minimum(up, vp)
+    m = jnp.minimum(m, adet - (up + vp))
+    m = jnp.minimum(m, tp - t_eps * adet)
+    m = jnp.minimum(m, adet - DET_EPS)
+    m = jnp.where(ids[None, :] == excl, -1.0, m)
+    return m, tp, adet
 
 
-def _kernel_nearest(g_ref, w_ref, ids_ref, excl_ref, t_ref, idx_ref,
-                    *, nb: int, t_eps: float, mode: str):
+def _kernel_nearest(g_ref, w_ref, ids_ref, excl_ref, *rest,
+                    nb: int, t_eps: float, mode: str, cull: bool):
+    if cull:
+        order_ref, te_ref, cap_ref, t_ref, idx_ref = rest
+    else:
+        t_ref, idx_ref = rest
     g = g_ref[...]
     excl = excl_ref[...]            # [RT, 1]
     RT = g.shape[0]
 
-    def body(b, carry):
+    def live(b, carry):
         bt, bidx = carry
-        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode)
-        t = jnp.where(ok, t, _BIG_T)
+        m, tp, adet = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode)
+        # One division per element is unavoidable for the cross-triangle
+        # min (t = tp/adet has no division-free order-preserving proxy);
+        # rejected lanes divide by whatever adet they have — safe because
+        # they are overwritten with BIG_T before the reduction.
+        t = jnp.where(m >= 0.0, tp / jnp.where(adet > 0, adet, 1.0), _BIG_T)
         tile_best = jnp.min(t, axis=1)
         lane = jnp.argmin(t, axis=1).astype(jnp.int32)
         better = tile_best < bt
@@ -150,30 +168,137 @@ def _kernel_nearest(g_ref, w_ref, ids_ref, excl_ref, t_ref, idx_ref,
             jnp.where(better, b * t.shape[1] + lane, bidx),
         )
 
-    init = (
-        jnp.full((RT,), _BIG_T, jnp.float32),
-        jnp.full((RT,), _NO_HIT, jnp.int32),
-    )
+    def body(k, carry):
+        if not cull:
+            return live(k, carry)
+        # Front-to-back ordered traversal with early exit — the TPU-native
+        # replacement of the reference's per-ray DDA walk with in-cell
+        # acceptance (Myobj.cpp:334-474): tri tiles are visited in order of
+        # conservative entry distance te; once EVERY ray's current nearest
+        # hit is closer than the next tile's te, no remaining tile can
+        # improve any ray, and masked-out tiles carry te = +inf.
+        i = pl.program_id(0)
+        te = te_ref[i, k]
+        b = order_ref[i, k]
+        visit = jnp.max(carry[0]) >= te
+        return jax.lax.cond(visit, lambda c: live(b, c), lambda c: c, carry)
+
+    if cull:
+        # Per-ray scene-exit cap: rays report NO_HIT via the id, so the
+        # t carry can start at the cap instead of +inf — miss rays then
+        # stop forcing far tiles to be visited.
+        bt0 = cap_ref[...][:, 0]
+    else:
+        bt0 = jnp.full((RT,), _BIG_T, jnp.float32)
+    init = (bt0, jnp.full((RT,), _NO_HIT, jnp.int32))
     bt, bidx = jax.lax.fori_loop(0, nb, body, init)
     t_ref[...] = bt[:, None]
     idx_ref[...] = bidx[:, None]
 
 
-def _kernel_occluded(g_ref, w_ref, ids_ref, excl_ref, tmax_ref, out_ref,
-                     *, nb: int, t_eps: float, mode: str):
+def _kernel_occluded(g_ref, w_ref, ids_ref, excl_ref, tmax_ref, *rest,
+                     nb: int, t_eps: float, mode: str, cull: bool):
+    if cull:
+        order_ref, te_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     g = g_ref[...]
     excl = excl_ref[...]
     tmax = tmax_ref[...]            # [RT, 1] pre-scaled: t_max * (1 - eps)
     RT = g.shape[0]
 
-    def body(b, blocked):
-        ok, t, _, _ = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode)
-        hit_close = ok & (t < tmax)
+    def live(b, blocked):
+        m, tp, adet = _tile_accepts(g, w_ref, ids_ref, excl, b, t_eps, mode)
+        # Division-free proximity test: t < tmax  <=>  tp < tmax * adet
+        # (both tp and adet are det-sign-corrected, adet >= 0).
+        hit_close = (m >= 0.0) & (tp < tmax * adet)
         # int32 carry: Mosaic cannot legalize an i1 vector loop carry
         return blocked | (jnp.sum(hit_close.astype(jnp.int32), axis=1) > 0).astype(jnp.int32)
 
+    def body(k, blocked):
+        if not cull:
+            return live(k, blocked)
+        # Near-first visit order + two early exits: skip masked tiles
+        # (te = +inf) and stop once every ray is already blocked (an
+        # any-hit has nothing left to prove).
+        i = pl.program_id(0)
+        te = te_ref[i, k]
+        b = order_ref[i, k]
+        visit = (te < _BIG_T / 2) & (jnp.min(blocked) < 1)
+        return jax.lax.cond(visit, lambda c: live(b, c), lambda c: c, blocked)
+
     blocked = jax.lax.fori_loop(0, nb, body, jnp.zeros((RT,), jnp.int32))
     out_ref[...] = blocked[:, None]
+
+
+def _tile_aabbs(lo, hi, tile):
+    """Per-triangle AABBs [Tp,3] -> per-tile AABBs [nb,3] (padding to the
+    kernel tile with empty boxes, matching _pack_blocks)."""
+    T = lo.shape[0]
+    pad = (-T) % tile
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), jnp.inf, lo.dtype)], axis=0)
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -jnp.inf, hi.dtype)], axis=0)
+    nb = lo.shape[0] // tile
+    return lo.reshape(nb, tile, 3).min(axis=1), hi.reshape(nb, tile, 3).max(axis=1)
+
+
+def _cull_masks(ro, rd, lo_t, hi_t, t_cap):
+    """Conservative [n_ray_tiles, nb] overlap flags: can ANY ray of the tile
+    (origin in the tile's origin box, direction in its direction box,
+    t in [0, max t_cap]) touch the triangle tile's AABB?
+
+    Interval arithmetic on the slab test: per axis the reachable parameter
+    interval is the hull of (b - o) / d over the boxes; a direction
+    interval straddling zero yields no constraint (conservative). Ray
+    sorting (integrator/regen.py) makes tiles coherent so the boxes are
+    tight; with incoherent tiles every mask degenerates to 1 and the
+    kernel simply tests everything — never incorrect, only slower."""
+    nrt = ro.shape[0] // RAY_TILE
+    o = ro.reshape(nrt, RAY_TILE, 3)
+    d = rd.reshape(nrt, RAY_TILE, 3)
+    o_lo, o_hi = o.min(axis=1), o.max(axis=1)            # [nrt,3]
+    d_lo, d_hi = d.min(axis=1), d.max(axis=1)
+    tc = t_cap.reshape(nrt, RAY_TILE).max(axis=1)        # [nrt]
+
+    n_lo = lo_t[None, :, :] - o_hi[:, None, :]           # [nrt,nb,3]
+    n_hi = hi_t[None, :, :] - o_lo[:, None, :]
+    dl = jnp.broadcast_to(d_lo[:, None, :], n_lo.shape)
+    dh = jnp.broadcast_to(d_hi[:, None, :], n_lo.shape)
+    straddle = (dl <= 0.0) & (dh >= 0.0)
+    dls = jnp.where(straddle, 1.0, dl)
+    dhs = jnp.where(straddle, 1.0, dh)
+    q = jnp.stack([n_lo / dls, n_lo / dhs, n_hi / dls, n_hi / dhs])
+    t_ax_lo = jnp.where(straddle, -_BIG_T, q.min(axis=0))
+    t_ax_hi = jnp.where(straddle, _BIG_T, q.max(axis=0))
+    t_enter = t_ax_lo.max(axis=-1)                       # [nrt,nb]
+    t_exit = t_ax_hi.min(axis=-1)
+    nonempty = (hi_t >= lo_t).all(axis=-1)[None, :]      # padding tiles: empty
+    ok = (t_enter <= t_exit) & (t_exit >= 0.0) & (t_enter <= tc[:, None]) & nonempty
+    # Near-first visit schedule: per ray tile, tri tiles sorted by their
+    # conservative entry distance (masked-out tiles pushed to +inf so the
+    # kernel's te test skips them without a separate mask).
+    te = jnp.where(ok, jnp.maximum(t_enter, 0.0), _BIG_T)
+    order = jnp.argsort(te, axis=1).astype(jnp.int32)
+    te_sorted = jnp.take_along_axis(te, order, axis=1)
+    return order, te_sorted
+
+
+def _scene_exit_cap(ro, rd, lo_t, hi_t, t_eps):
+    """Per-ray conservative upper bound on any triangle hit t: the exit
+    parameter of the ray against the global scene AABB (every triangle lies
+    inside it), with fp slack. Rays that miss the box get cap 0 — they can
+    hit nothing."""
+    glo = jnp.min(jnp.where(jnp.isfinite(lo_t), lo_t, jnp.inf), axis=0)
+    ghi = jnp.max(jnp.where(jnp.isfinite(hi_t), hi_t, -jnp.inf), axis=0)
+    inv = 1.0 / jnp.where(jnp.abs(rd) > 1e-30, rd, 1e-30)
+    t0 = (glo[None] - ro) * inv
+    t1 = (ghi[None] - ro) * inv
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit_box = (t_far >= jnp.maximum(t_near, 0.0))
+    cap = t_far * 1.001 + 1e-3 + t_eps
+    return jnp.where(hit_box, cap, 0.0).astype(jnp.float32)
 
 
 def _pack_blocks(W: jnp.ndarray, tri_ids: jnp.ndarray, tile: int):
@@ -218,18 +343,32 @@ def _pad_rays(g, extras, pad_vals):
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "interpret", "mode"))
 def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
-                  mode: str):
+                  mode: str, lo=None, hi=None):
     N = ro.shape[0]
     g = ray_features(ro, rd)
     tile = _tri_tile(W.shape[0])
     Wb, idb, Wflat = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
-    g, (excl,) = _pad_rays(g, [exclude_id], [NO_HIT])
+    cull = lo is not None and nb > 1
+    g, (excl, ro_p, rd_p) = _pad_rays(g, [exclude_id, ro, rd], [NO_HIT, 0.0, 0.0])
     Np = g.shape[0]
 
     col, in_specs = _common_specs(nb, tile)
+    args = [g, Wb, idb, excl[:, None]]
+    if cull:
+        lo_t, hi_t = _tile_aabbs(lo, hi, tile)
+        order, te = _cull_masks(ro_p, rd_p, lo_t, hi_t, jnp.full((Np,), _BIG_T))
+        cap = _scene_exit_cap(ro_p, rd_p, lo_t, hi_t, t_eps)
+        in_specs = in_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # order [nrt, nb]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # te    [nrt, nb]
+            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),  # cap
+        ]
+        args += [order, te, cap[:, None]]
     t, idx = pl.pallas_call(
-        functools.partial(_kernel_nearest, nb=nb, t_eps=t_eps, mode=mode),
+        functools.partial(
+            _kernel_nearest, nb=nb, t_eps=t_eps, mode=mode, cull=cull
+        ),
         grid=(Np // RAY_TILE,),
         in_specs=in_specs,
         out_specs=[
@@ -241,11 +380,11 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
             jax.ShapeDtypeStruct((Np, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(g, Wb, idb, excl[:, None])
+    )(*args)
 
     t = t[:N, 0]
+    valid = idx[:N, 0] >= 0   # cull path caps t at scene exit; id is truth
     idx = jnp.maximum(idx[:N, 0], 0)
-    valid = t < _BIG_T / 2
 
     # Winner recovery in XLA: one gather + a 40-flop re-evaluation. t is
     # ALSO taken from this exact-f32 re-evaluation rather than the kernel's
@@ -273,14 +412,15 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "interpret", "mode"))
 def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
-                   interpret: bool, mode: str):
+                   interpret: bool, mode: str, lo=None, hi=None):
     N = ro.shape[0]
     g = ray_features(ro, rd)
     tile = _tri_tile(W.shape[0])
     Wb, idb, _ = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
-    g, (excl, tmax) = _pad_rays(
-        g, [exclude_id, t_max.astype(jnp.float32)], [NO_HIT, 0.0]
+    cull = lo is not None and nb > 1
+    g, (excl, tmax, ro_p, rd_p) = _pad_rays(
+        g, [exclude_id, t_max.astype(jnp.float32), ro, rd], [NO_HIT, 0.0, 0.0, 0.0]
     )
     Np = g.shape[0]
 
@@ -288,33 +428,48 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
     in_specs = in_specs + [
         pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)
     ]
+    args = [g, Wb, idb, excl[:, None], tmax[:, None]]
+    if cull:
+        lo_t, hi_t = _tile_aabbs(lo, hi, tile)
+        # Shadow segments are bounded: the tile's max t_max caps the swept
+        # interval, culling tiles beyond the lights.
+        order, te = _cull_masks(ro_p, rd_p, lo_t, hi_t, tmax)
+        in_specs = in_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # order [nrt, nb]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # te    [nrt, nb]
+        ]
+        args += [order, te]
     out = pl.pallas_call(
-        functools.partial(_kernel_occluded, nb=nb, t_eps=t_eps, mode=mode),
+        functools.partial(
+            _kernel_occluded, nb=nb, t_eps=t_eps, mode=mode, cull=cull
+        ),
         grid=(Np // RAY_TILE,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
         interpret=interpret,
-    )(g, Wb, idb, excl[:, None], tmax[:, None])[0]
+    )(*args)[0]
     return out[:N, 0] > 0
 
 
 def intersect_pallas(ro, rd, W, tri_ids, exclude_id=None, t_eps=T_EPS,
-                     mode=None):
+                     mode=None, aabb_lo=None, aabb_hi=None):
+    """aabb_lo/hi (per-triangle, morton-sorted order — ops.intersect.TriAccel)
+    enable conservative tri-tile culling; None = test every tile."""
     N = ro.shape[0]
     if exclude_id is None:
         exclude_id = jnp.full((N,), NO_HIT, jnp.int32)
     interpret = jax.default_backend() == "cpu"
     return _call_nearest(ro, rd, W, tri_ids, exclude_id, float(t_eps),
-                         interpret, mode or DOT_MODE)
+                         interpret, mode or DOT_MODE, aabb_lo, aabb_hi)
 
 
 def occluded_pallas(ro, rd, W, tri_ids, exclude_id, t_max, t_eps=T_EPS,
-                    mode=None):
+                    mode=None, aabb_lo=None, aabb_hi=None):
     """True where some accepted triangle lies closer than t_max (pre-scaled
     by the caller's margin)."""
     interpret = jax.default_backend() == "cpu"
     return _call_occluded(
         ro, rd, W, tri_ids, exclude_id, t_max, float(t_eps), interpret,
-        mode or DOT_MODE
+        mode or DOT_MODE, aabb_lo, aabb_hi
     )

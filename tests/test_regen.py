@@ -116,3 +116,50 @@ def test_regen_ref_mis_weights_and_uniform_sampler(cornell_scene):
         img = render_image_regen(scene, cfg, lanes=512).image
         assert np.isfinite(img).all() and img.mean() > 0, kw
 
+
+
+def test_blocker_queue_vs_restructure(cornell_scene):
+    """mis_blocker_compat (the reference's occluded-blocker recursion via
+    the regen work queue) runs, traces MORE rays (the chains), spills
+    nothing at this size, and agrees with the restructured estimator within
+    MC noise on cornell (the blocker branch carries ~1-2% of the image
+    here; docs/PARITY.md quantifies it at scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from monte_carlo_path_tracing_tpu.core import rng as _rng
+    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+
+    scene = _small(cornell_scene, wh=16)
+    base = dict(width=16, height=16, spp=48, estimator="mis", max_depth=32,
+                seed=4, ref_mis_weights=True)
+    n_pix = 16 * 16
+    key = _rng.base_key(4)
+
+    def run(cfg):
+        fb, nrays, _, spilled = jax.jit(
+            lambda s, k: render_regen(s, cfg, k, n_pix, n_pix * cfg.spp,
+                                      lanes=512)
+        )(scene, key)
+        return (np.asarray(fb) / cfg.spp, float(nrays), int(spilled))
+
+    img_nb, rays_nb, _ = run(RenderConfig(**base))
+    img_bl, rays_bl, spill = run(RenderConfig(**base, mis_blocker_compat=True))
+    assert spill == 0
+    assert rays_bl > rays_nb          # chains trace extra rays
+    assert np.isfinite(img_bl).all()
+    ratio = img_bl.mean() / img_nb.mean()
+    assert 0.93 < ratio < 1.07, (img_bl.mean(), img_nb.mean())
+
+
+def test_blocker_flag_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ref_mis_weights"):
+        RenderConfig(estimator="mis", mis_blocker_compat=True).validate()
+
+    from monte_carlo_path_tracing_tpu.integrator import render_rays
+
+    with _pytest.raises(NotImplementedError):
+        render_rays(None, RenderConfig(ref_mis_weights=True,
+                                       mis_blocker_compat=True), None, None, None)
