@@ -184,23 +184,43 @@ def cmd_inverse(args) -> int:
 
     scene = _load_scene(args)
     cfg = _make_cfg(args, scene.camera)
+    fams = tuple(args.optimize.split(","))
+    m = scene.materials
+    # Perturb every optimized family (configs[3]: joint kd/ks/ns/radiance
+    # recovery); untouched families keep their true values.
     init = dataclasses.replace(
-        scene.materials,
-        kd=jnp.clip(scene.materials.kd + args.perturb, 0.02, 0.95),
+        m,
+        kd=jnp.clip(m.kd + args.perturb, 0.02, 0.95) if "kd" in fams else m.kd,
+        ks=jnp.clip(m.ks - args.perturb * (m.ks > 0), 0.0, 0.95)
+        if "ks" in fams else m.ks,
+        ns=m.ns * 0.4 if "ns" in fams else m.ns,
+        emission=m.emission * 0.5 if "emission" in fams else m.emission,
     )
     res = recover_materials(
         scene, init, cfg, steps=args.steps, lr=args.lr,
         rays_per_step=args.rays_per_step, seed=args.seed,
-        optimize=tuple(args.optimize.split(",")),
+        optimize=fams,
         progress=lambda i, l: (
             print(f"step {i} loss {l:.6f}", file=sys.stderr, flush=True)
             if i % 10 == 0 else None
         ),
     )
-    err = float(jnp.mean(jnp.abs(res.materials.kd - scene.materials.kd)))
-    print(json.dumps({
-        "final_loss": res.losses[-1], "kd_mae": err, "steps": res.steps,
-    }))
+    mae = lambda a, b: float(jnp.mean(jnp.abs(a - b)))
+    out = {
+        "final_loss": res.losses[-1], "steps": res.steps,
+        "kd_mae": mae(res.materials.kd, m.kd),
+        "ks_mae": mae(res.materials.ks, m.ks),
+        "ns_rel_mae": float(jnp.mean(
+            jnp.abs(jnp.log(res.materials.ns / m.ns))
+        )),
+        "emission_rel_mae": float(jnp.mean(jnp.where(
+            m.emission.sum(-1) > 0,
+            jnp.abs(res.materials.emission.sum(-1) - m.emission.sum(-1))
+            / jnp.maximum(m.emission.sum(-1), 1e-9),
+            0.0,
+        ))),
+    }
+    print(json.dumps(out))
     return 0
 
 
@@ -236,7 +256,11 @@ def main(argv=None) -> int:
     pi.add_argument("--lr", type=float, default=0.1)
     pi.add_argument("--perturb", type=float, default=0.2)
     pi.add_argument("--rays-per-step", type=int, default=1024)
-    pi.add_argument("--optimize", default="kd")
+    pi.add_argument(
+        "--optimize", default="kd,ks,ns,emission",
+        help="comma list of material families to recover (configs[3] "
+             "default: all four)",
+    )
     pi.set_defaults(fn=cmd_inverse)
 
     args = ap.parse_args(argv)

@@ -59,17 +59,15 @@ def pixel_grad(scene, cfg, key, ro, rd, select):
 @dataclasses.dataclass(frozen=True)
 class LatentMaterials:
     """Unconstrained latents: kd/ks via sigmoid (in (0,1)), ns/emission via
-    softplus (positive)."""
+    LOG (positive, scale-free). Log — not softplus — because Adam moves
+    latents by O(lr) per step regardless of gradient magnitude: under a
+    ~identity map a shininess of 500 would take thousands of steps to halve,
+    while in log space every decade is the same ~2.3 latent units."""
 
     kd_l: jnp.ndarray
     ks_l: jnp.ndarray
     ns_l: jnp.ndarray
     emission_l: jnp.ndarray
-
-
-def _softplus_inv(y):
-    y = jnp.maximum(y, 1e-6)
-    return y + jnp.log(-jnp.expm1(-y))
 
 
 def to_latent(m: Materials) -> LatentMaterials:
@@ -78,8 +76,8 @@ def to_latent(m: Materials) -> LatentMaterials:
     return LatentMaterials(
         kd_l=logit(clip(m.kd)),
         ks_l=logit(clip(m.ks)),
-        ns_l=_softplus_inv(m.ns),
-        emission_l=_softplus_inv(jnp.maximum(m.emission, 1e-6)),
+        ns_l=jnp.log(jnp.maximum(m.ns, 1e-3)),
+        emission_l=jnp.log(jnp.maximum(m.emission, 1e-6)),
     )
 
 
@@ -87,8 +85,8 @@ def from_latent(lm: LatentMaterials) -> Materials:
     return Materials(
         kd=jax.nn.sigmoid(lm.kd_l),
         ks=jax.nn.sigmoid(lm.ks_l),
-        ns=jax.nn.softplus(lm.ns_l),
-        emission=jax.nn.softplus(lm.emission_l),
+        ns=jnp.exp(lm.ns_l),
+        emission=jnp.exp(lm.emission_l),
     )
 
 

@@ -113,10 +113,10 @@ def main():
     f_regen = jax.jit(
         lambda k: render_regen(scene, cfg, k, 256 * 256, 256 * 256 * 8, lanes=N)
     )
-    fb, nrays, iters = f_regen(key)
+    fb, nrays, iters, _ = f_regen(key)
     jax.block_until_ready(fb)
     t0 = time.perf_counter()
-    fb, nrays, iters = f_regen(key)
+    fb, nrays, iters, _ = f_regen(key)
     jax.block_until_ready(fb)
     dt = time.perf_counter() - t0
     print(f"regen: {dt:.3f}s, {int(iters)} iters, {dt/int(iters)*1e3:.2f} ms/iter, "
