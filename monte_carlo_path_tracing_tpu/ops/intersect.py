@@ -38,6 +38,16 @@ from monte_carlo_path_tracing_tpu.scene.types import Scene
 #: (det,u,v,t) => 128 triangles per 512-lane tile group.
 TRI_BLOCK = 512
 
+#: Per-kernel culling toggles: pass the accel's tri-tile AABBs to the
+#: pallas nearest / any-hit kernels (ordered traversal + early exit).
+#: Default OFF: at the bundled scenes' ~3k-triangle scale the per-tile
+#: branch overhead and the lane sort needed for tile coherence cost more
+#: than the skipped work saves end-to-end (see intersect_pallas.py header
+#: and docs/ARCHITECTURE.md "triangle culling" for the measurements);
+#: flip on for larger scenes / naturally coherent ray batches.
+CULL_NEAREST = False
+CULL_OCCLUDED = False
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -137,7 +147,8 @@ def intersect(
 
         return intersect_pallas.intersect_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps, mode=mode,
-            aabb_lo=accel.aabb_lo, aabb_hi=accel.aabb_hi,
+            aabb_lo=accel.aabb_lo if CULL_NEAREST else None,
+            aabb_hi=accel.aabb_hi if CULL_NEAREST else None,
         )
     if impl == "matmul":
         return intersect_ref.intersect_matmul(
@@ -184,7 +195,9 @@ def occluded(
             exclude_id = jnp.full((ro.shape[0],), NO_HIT, jnp.int32)
         return intersect_pallas.occluded_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps,
-            mode=mode, aabb_lo=accel.aabb_lo, aabb_hi=accel.aabb_hi,
+            mode=mode,
+            aabb_lo=accel.aabb_lo if CULL_OCCLUDED else None,
+            aabb_hi=accel.aabb_hi if CULL_OCCLUDED else None,
         )
     hit = intersect_ref.intersect_matmul(
         ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps

@@ -37,18 +37,25 @@ from monte_carlo_path_tracing_tpu.ops.intersect_ref import (
 )
 
 #: Tile sizes from v5e sweeps (65k rays x 3584 tris). Without culling,
-#: tile size is a wash (7.1-8.6 ms across 128..1792); WITH the morton-tile
-#: culling the small 128-triangle tiles win decisively (scripts/
-#: tpu_cull_bench.py: occluded 5.5 -> 2.0 ms, nearest 7.2 -> 6.1 ms on
-#: coherent tiles at density ~0.5) because skipping is per-tile — finer
-#: tiles, finer skips. TRI_TILE adapts up to one 512-multiple for tiny
-#: scenes so they don't pay padding.
+#: tile size is a wash (7.1-8.6 ms nearest across 128..1792); WITH the
+#: morton-tile culling, small 128-triangle tiles win at the KERNEL level on
+#: coherent ray tiles (scripts/tpu_cull_bench.py: occluded 5.5 -> 2.0 ms,
+#: nearest 7.2 -> 6.1 ms at mask density ~0.5) — but making regen-loop ray
+#: tiles coherent needs a per-iteration lane sort, and XLA's TPU sort costs
+#: ~15 ms per 65k-lane iteration, more than culling saves end-to-end at
+#: this scene scale (scripts/tpu_regen_ablate.py). Defaults therefore stay
+#: at the unculled configuration; culling/sorting remain opt-in knobs
+#: (ops.intersect.CULL_NEAREST/CULL_OCCLUDED + cfg.ray_sort) that win once
+#: tiles are naturally coherent (camera-ray passes, larger scenes).
 RAY_TILE = 512
-TRI_TILE = 128
+TRI_TILE = 1792
 
 
-def _tri_tile(T: int) -> int:
-    return min(TRI_TILE, ((T + 511) // 512) * 512)
+def _tri_tile(T: int, mode: str = "vpu") -> int:
+    # bf16x3 (mxu_fast) holds 3x split operands in VMEM: tile 1792 blows the
+    # 16 MB scoped-vmem budget at RAY_TILE=512 (measured: 26 MB), 896 fits.
+    cap = min(TRI_TILE, 896) if mode == "mxu_fast" else TRI_TILE
+    return min(cap, ((T + 511) // 512) * 512)
 
 #: Dot modes for the [RT,10]@[10,TT] coefficient contraction:
 #:   "vpu"      — unrolled broadcast-FMA, exact f32 (the correctness mode;
@@ -346,7 +353,7 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
                   mode: str, lo=None, hi=None):
     N = ro.shape[0]
     g = ray_features(ro, rd)
-    tile = _tri_tile(W.shape[0])
+    tile = _tri_tile(W.shape[0], mode)
     Wb, idb, Wflat = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
     cull = lo is not None and nb > 1
@@ -415,7 +422,7 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
                    interpret: bool, mode: str, lo=None, hi=None):
     N = ro.shape[0]
     g = ray_features(ro, rd)
-    tile = _tri_tile(W.shape[0])
+    tile = _tri_tile(W.shape[0], mode)
     Wb, idb, _ = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
     cull = lo is not None and nb > 1

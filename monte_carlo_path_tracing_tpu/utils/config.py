@@ -84,11 +84,13 @@ class RenderConfig:
     # wins once T is large enough that all-pairs work dominates).
     accel: str = "all_pairs"
     grid_n0: int = 100_000      # grid target cell count (main.cpp:520)
-    # Regen renderer: reorder lanes by (direction octant, origin morton)
+    # Regen renderer: reorder lanes by (direction cone, origin morton)
     # each iteration so kernel ray tiles are coherent and the pallas
     # tri-tile culling bites. Pure permutation — the estimate is unchanged
-    # (streams are keyed by (sample, pixel), not lane).
-    ray_sort: bool = True
+    # (streams are keyed by (sample, pixel), not lane). Default OFF: XLA's
+    # TPU sort costs ~15 ms per 65k-lane iteration, more than the
+    # coherence saves at the bundled scenes' scale (docs/ARCHITECTURE.md).
+    ray_sort: bool = False
 
     # Distribution
     mesh_shape: Tuple[int, ...] = ()    # () = single device
