@@ -25,9 +25,30 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_PATHS_PER_S = 136.0  # BASELINE.md, reference MIS 1x distance
+
+# Physical sanity ceiling for the reported throughput (round-2 postmortem:
+# jax.block_until_ready returned before the regen while_loop finished on the
+# axon TPU platform, and a 33,830 Mrays/s async-dispatch artifact was
+# recorded). Two defenses now: (1) the timed region below ends at a HOST
+# materialization of the framebuffer (np.asarray) — the device->host copy
+# cannot complete before the program has — and (2) this ceiling aborts the
+# run if an impossible number ever shows up again. Derivation: the all-pairs
+# intersection kernel evaluates 4 K=10 dots + ~10 elementwise ops per
+# (ray, triangle) pair ≈ 90 flops; granting a generous 10x effective
+# culling factor and a 4e14 flop/s single-chip peak (above any current
+# chip's f32/bf16 peak), rays/s < 4e14 / (90 * n_tris * 0.1).
+_PEAK_FLOPS = 4.0e14
+_FLOPS_PER_PAIR = 90.0
+_CULL_FACTOR = 0.1  # fraction of triangle tiles a ray can possibly test
+
+
+def _ceiling_mrays(n_tris: int) -> float:
+    return _PEAK_FLOPS / (_FLOPS_PER_PAIR * n_tris * _CULL_FACTOR) / 1e6
 
 
 def main() -> None:
@@ -86,13 +107,18 @@ def main() -> None:
 
         mesh = make_mesh((n_dev,), ("tiles",))
         fn = make_regen_sharded(scene, cfg, mesh, lanes)
-        # warmup shares the compiled program (sample count is traced)
-        jax.block_until_ready(fn(scene, key, jnp.int32(1)))
+        # Warmup materializes on host too, so compile + first execution are
+        # fully retired before the clock starts.
+        wfb, _ = fn(scene, key, jnp.int32(1))
+        np.asarray(wfb)
+        # Timed region ends at a HOST materialization (device->host copy of
+        # the framebuffer + ray counter): block_until_ready is NOT trusted
+        # on this platform (round-2 postmortem above).
         t0 = time.perf_counter()
         fb, nrays = fn(scene, key, jnp.int32(spp))
-        jax.block_until_ready(fb)
-        dt = time.perf_counter() - t0
+        checksum = float(np.asarray(fb).sum())
         total_rays = int(nrays)
+        dt = time.perf_counter() - t0
     else:
         warm_samples = lanes  # tiny warmup run to trigger compilation
 
@@ -102,17 +128,30 @@ def main() -> None:
             return render_regen(scene, cfg, key, n_pix, total, lanes=lanes)
 
         run_jit = jax.jit(run)
-        jax.block_until_ready(run_jit(scene, key, jnp.int32(warm_samples)))
+        np.asarray(run_jit(scene, key, jnp.int32(warm_samples))[0])
 
         t0 = time.perf_counter()
         fb, nrays, iters, _ = run_jit(scene, key, jnp.int32(total_samples))
-        jax.block_until_ready(fb)
-        dt = time.perf_counter() - t0
+        checksum = float(np.asarray(fb).sum())
         total_rays = int(nrays)
+        dt = time.perf_counter() - t0
+
+    if not np.isfinite(checksum) or checksum <= 0.0:
+        print(f"FATAL: framebuffer checksum {checksum} is not a positive "
+              "finite number — the render did not execute", file=sys.stderr)
+        sys.exit(1)
 
     paths = total_samples
     mrays = total_rays / dt / 1e6 / n_dev  # per-chip
     paths_per_s = paths / dt
+
+    ceiling = _ceiling_mrays(scene.num_tris)
+    if mrays >= ceiling:
+        print(f"FATAL: measured {mrays:.1f} Mrays/s exceeds the physical "
+              f"ceiling {ceiling:.1f} Mrays/s for a {scene.num_tris}-triangle "
+              "scene on one chip — the timing is broken (async dispatch?); "
+              "refusing to record it", file=sys.stderr)
+        sys.exit(1)
     result = {
         "metric": "Mrays/s/chip",
         "value": round(mrays, 4),
@@ -127,6 +166,7 @@ def main() -> None:
         "paths_per_s": round(paths_per_s, 1),
         "rays_per_path": round(total_rays / paths, 3),
         "total_rays": total_rays,
+        "fb_checksum": checksum,
     }
     print(json.dumps(result))
     print("# " + json.dumps(extra), file=sys.stderr)

@@ -25,6 +25,8 @@ fixed-depth loop remains the differentiation path.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +36,7 @@ from monte_carlo_path_tracing_tpu.integrator.wavefront import (
     _impl, _light_pdf_of_hit, _nee_term, _sample_light,
 )
 from monte_carlo_path_tracing_tpu.ops import intersect as ops_intersect
+from monte_carlo_path_tracing_tpu.ops import sort as ops_sort
 from monte_carlo_path_tracing_tpu.render.camera import camera_basis, pixel_len
 from monte_carlo_path_tracing_tpu.sampling import light_spherical, light_uniform, phong
 from monte_carlo_path_tracing_tpu.scene.types import Scene
@@ -42,6 +45,22 @@ from monte_carlo_path_tracing_tpu.utils.config import (
 )
 
 _SG = jax.lax.stop_gradient
+
+# Fold level reserved for blocker-chain streams (see render_regen): real
+# streams fold (spp index, pixel) directly off the base key and never see
+# this tag, so chain streams are disjoint from every launch's real streams.
+_CHAIN_TAG = 0x5EED_CA1  # arbitrary 32-bit constant
+
+
+class RegenStats(NamedTuple):
+    """Scalar diagnostics of one regen launch (4th element of the return).
+
+    ``chains`` is the number of blocker-chain continuations enqueued
+    (mis_blocker_compat only; 0 otherwise) — a low-variance conservation
+    quantity the oracle parity test pins (tests/test_oracle.py)."""
+
+    spilled: jnp.ndarray  # chains dropped on queue overflow
+    chains: jnp.ndarray   # chains enqueued
 
 
 def _nee_full(scene, cfg, accel, tri_to_light, si, ls, alive):
@@ -115,9 +134,13 @@ def render_regen(
     # occluder of a blocked light ray; here those recursions become queued
     # continuation paths that free lanes pull before new camera samples —
     # the regeneration machinery doubles as the tree scheduler. Chains draw
-    # from streams keyed by a unique synthetic sample id past the real
-    # range (scheduler-dependent but collision-free; the estimator mean is
-    # scheduling-invariant regardless).
+    # from a DEDICATED stream family: sample ids < 0 encode a per-launch
+    # chain counter, and lane_stream routes them through fold(base,
+    # _CHAIN_TAG) -> fold(spp0) -> fold(chain id) — disjoint from every
+    # real (spp, pixel) stream of every launch (real streams never fold
+    # _CHAIN_TAG first), so multi-launch renders cannot correlate a
+    # launch-k chain with a launch-k+1 camera sample. The chain id is
+    # scheduler-dependent; the estimator mean is scheduling-invariant.
     blocker = bool(cfg.mis_blocker_compat) and cfg.estimator == EST_MIS
     tri_to_light = common.light_index_table(scene)
     spherical = cfg.light_sampler == LS_SPHERICAL
@@ -128,12 +151,22 @@ def render_regen(
 
     C = lanes
 
+    # Chain streams live under a tag fold no real stream ever applies;
+    # folding spp0 next makes them launch-unique (spp0 is globally monotonic
+    # across a multi-launch render, renderer.py).
+    chain_base = rng.fold_in(rng.fold_in(base_key, _CHAIN_TAG), spp0)
+
     def lane_stream(sample, pixel):
         """Per-lane stream keys per the core/rng.py contract: base folded by
         (spp index, global pixel id) — matching render/renderer.py's
-        _sample_pass fold order exactly."""
-        k = rng.fold_in(base_key, spp0 + sample // n_pix)
-        return rng.fold_in(k, pixel * pixel_stride + pixel_offset)
+        _sample_pass fold order exactly. Negative samples are blocker-chain
+        ids (-1 - chain_id) and draw from the disjoint chain_base family."""
+        is_chain = sample < 0
+        real = jnp.where(is_chain, 0, sample)
+        k = rng.fold_in(base_key, spp0 + real // n_pix)
+        k_real = rng.fold_in(k, pixel * pixel_stride + pixel_offset)
+        k_chain = rng.fold_in(chain_base, -1 - sample)
+        return jnp.where(is_chain, k_chain, k_real)
 
     def primary_rays(pixel, lk):
         i = (pixel // cam.width).astype(jnp.float32)
@@ -179,7 +212,12 @@ def render_regen(
         RAY_TILE-sized kernel tile is spatially/directionally coherent and
         the conservative tri-tile culling (ops/intersect_pallas.py) bites.
         Pure permutation of per-lane state: every draw is keyed by the
-        lane's (sample, pixel, depth), so the estimate is unchanged."""
+        lane's (sample, pixel, depth), so the estimate is unchanged.
+
+        The permutation comes from the MXU counting/radix sort
+        (ops/sort.py, ~0.7 ms/8-bit pass at 65k lanes) rather than XLA's
+        bitonic argsort (~15 ms) — the cost that kept culling default-off
+        in round 2."""
         ro, rd = st["ro"], st["rd"]
         q = jnp.clip(
             ((ro - scene_lo) * scene_inv * 31.0).astype(jnp.int32), 0, 31
@@ -195,14 +233,18 @@ def render_regen(
         dq = jnp.clip(((rd * 0.5 + 0.5) * 7.0).astype(jnp.int32), 0, 7)
         dkey = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
         # idle lanes sort to the back so live work stays dense in tiles
-        key = jnp.where(st["alive"], (dkey << 15) | morton, jnp.int32(1 << 30))
-        order = jnp.argsort(key)
+        key = jnp.where(st["alive"], (dkey << 15) | morton, (1 << 24) - 1)
+        if C % 256 == 0:
+            order = ops_sort.sort_perm(key, key_bits=24)
+        else:  # tiny lane counts (tests): fall back to the bitonic sort
+            order = jnp.argsort(key)
         out = dict(st)
         for k in _LANE_ARRAYS:
             out[k] = st[k][order]
         return out
 
     do_sort = cfg.ray_sort and scene_lo is not None
+    sort_every = max(int(cfg.ray_sort_every), 1)
 
     def cond(st):
         more = (st["counter"] < total_samples) | jnp.any(st["alive"])
@@ -212,7 +254,12 @@ def render_regen(
 
     def body(st):
         if do_sort:
-            st = sort_lanes(st)
+            if sort_every == 1:
+                st = sort_lanes(st)
+            else:
+                st = jax.lax.cond(
+                    st["iter"] % sort_every == 0, sort_lanes, lambda s: s, st
+                )
         alive = st["alive"]
         depth = st["depth"]
         # Stream keys of the (sample, pixel) each lane is currently tracing.
@@ -364,7 +411,7 @@ def render_regen(
             slot = st["buf_count"] + rank_s
             can = spawn & (slot < B)
             idx_w = jnp.where(can, slot, B)      # row B = overflow sink
-            chain_sample = total_samples + st["chain_counter"] + rank_s
+            chain_sample = -1 - (st["chain_counter"] + rank_s)
             out["buf_ro"] = st["buf_ro"].at[idx_w].set(si.p)
             out["buf_rd"] = st["buf_rd"].at[idx_w].set(wl_sp)
             out["buf_tp"] = st["buf_tp"].at[idx_w].set(chain_tp)
@@ -411,7 +458,11 @@ def render_regen(
                 tk, tc = take[:, None], take_chain[:, None]
             return jnp.where(tk, a, jnp.where(tc, b, c) if blocker else c)
 
-        bq = (lambda k: st["buf_" + k][src]) if blocker else (lambda k: 0)
+        # Dequeue from the POST-enqueue buffers (out["buf_*"], written above):
+        # buf_count and the LIFO top already include this iteration's spawns,
+        # so reading st["buf_*"] here would hand freed lanes stale/unwritten
+        # slots — chains dropped or double-traced (round-2 advisor finding).
+        bq = (lambda k: out["buf_" + k][src]) if blocker else (lambda k: 0)
         out.update({
             "alive": cont | take | take_chain,
             "pixel": sel(pixel_new, bq("pixel"), st["pixel"]),
@@ -473,5 +524,9 @@ def render_regen(
             "spilled": jnp.zeros((), jnp.int32),
         })
     st = jax.lax.while_loop(cond, body, st)
-    spilled = st["spilled"] if blocker else jnp.zeros((), jnp.int32)
-    return st["fb"][:n_pix], st["nrays"], st["iter"], spilled
+    zero = jnp.zeros((), jnp.int32)
+    stats = RegenStats(
+        spilled=st["spilled"] if blocker else zero,
+        chains=st["chain_counter"] if blocker else zero,
+    )
+    return st["fb"][:n_pix], st["nrays"], st["iter"], stats

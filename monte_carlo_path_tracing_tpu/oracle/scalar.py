@@ -87,6 +87,7 @@ class ScalarOracle:
         self.branch_pdf = branch_pdf
         self.measure_bug = measure_bug
         self.max_depth = max_depth
+        self.chain_events = 0  # blocker events seen by the last trace*()
 
     # ------------------------------------------------------------------
     # Intersection (Myobj.cpp:165-192 accept rules; brute-force nearest)
@@ -356,6 +357,10 @@ class ScalarOracle:
                 phong_pdf = self._brdf_pdf(N, wl, wo, tri)
                 w = float(wl @ N) / (lprob + phong_pdf) / self.rr
                 if self.blocker_recursion:
+                    if not self.is_light[htri]:
+                        _, n2 = self._hit_point_normal(htri, hb, hg)
+                        if float(n2 @ -wl) > 0:
+                            self.chain_events += 1
                     # reference: shade WHATEVER the light ray hit
                     child = self.shade_mis(rng, htri, hb, hg, -wl, depth + 1)
                     L = L + child * f * w
@@ -415,6 +420,102 @@ class ScalarOracle:
                 child = self.emission[htri] * (bpdf / (bpdf + lpdf_hit))
             L = L + child * f * w
         return L
+
+    def shade_mis_pair(self, rng, tri, beta, gamma, wo, depth=0):
+        """Blocker-mode walk returning (L_blocker, L_restructure) evaluated
+        on IDENTICAL draws: L_blocker is the reference's exact recursion
+        (main.cpp:402-494 incl. the occluded-blocker branch 455-464) and
+        L_restructure is the Q11 NEE restructure of the SAME path tree.
+        Their difference isolates the blocker-chain contribution with no MC
+        stream divergence — the quantity the regen work queue must
+        reproduce (tests/test_oracle.py). Requires ref_mis_weights
+        semantics (both modes share denominators then)."""
+        p, N, early = self._enter(tri, beta, gamma, wo)
+        if p is None:
+            return early, early.copy()
+        if depth >= self.max_depth or rng.random() > self.rr:
+            return np.zeros(3), np.zeros(3)
+
+        L_full = np.zeros(3)
+        L_rest = np.zeros(3)
+        recs, weights, wsum, imap = (
+            self._arvo_prepare(p, N) if self.spherical else (None, None, 0, None)
+        )
+
+        # --- light strategy ---
+        if self.spherical:
+            ltri, x1, lprob = self._arvo_sample(rng, p, N, recs, weights, wsum)
+        else:
+            ltri, x1, lprob_area = self._uniform_sample(rng)
+        wl = _norm(x1 - p)
+        if float(wl @ N) > 0:
+            if not self.spherical:
+                d2 = float((x1 - p) @ (x1 - p))
+                cos_l = float(-wl @ self.geo_n[ltri])
+                lprob = lprob_area * d2 / cos_l if cos_l > 0 else 0.0
+            htri, hb, hg, ht = self._nearest(p, wl, tri)
+            if htri >= 0:
+                f = self._brdf_eval(N, wl, wo, tri)
+                phong_pdf = self._brdf_pdf(N, wl, wo, tri)
+                w = float(wl @ N) / (lprob + phong_pdf) / self.rr
+                if not self.is_light[htri]:
+                    # blocker event — counted iff the wavefront would spawn
+                    # a chain (regen._nee_full: front non-emissive hit)
+                    _, n2 = self._hit_point_normal(htri, hb, hg)
+                    if float(n2 @ -wl) > 0:
+                        self.chain_events += 1
+                child_full, _ = self.shade_mis_pair(rng, htri, hb, hg, -wl,
+                                                    depth + 1)
+                L_full = L_full + child_full * f * w
+                if htri == ltri and float(-wl @ self.geo_n[ltri]) > 0:
+                    L_rest = L_rest + self.emission[htri] * f * w
+
+        # --- BRDF strategy (identical in both modes; recurse the pair) ---
+        wi, bpdf = self._brdf_sample(rng, N, wo, tri)
+        if float(wi @ N) < 0:
+            return L_full, L_rest
+        htri, hb, hg, ht = self._nearest(p, wi, tri)
+        if htri >= 0:
+            f = self._brdf_eval(N, wi, wo, tri)
+            lt, _, _, _ = self._nearest(p, wi, tri, tris=self.light_tris)
+            if self.spherical:
+                lpdf = (
+                    self.emission[lt].sum() / wsum
+                    if lt >= 0 and lt in imap and abs(wsum) >= EPS
+                    else 0.0
+                )
+            else:
+                lpdf = 0.0
+            w = float(wi @ N) / (bpdf + lpdf) / self.rr
+            child_full, child_rest = self.shade_mis_pair(rng, htri, hb, hg,
+                                                         -wi, depth + 1)
+            L_full = L_full + child_full * f * w
+            L_rest = L_rest + child_rest * f * w
+        return L_full, L_rest
+
+    def trace_pair(self, rng, ro, rd, spp: int):
+        """Per-ray means of (blocker, restructure) on identical draws.
+        Also resets/accumulates ``self.chain_events`` — the number of
+        blocker events (spawned chains), for rate parity with the
+        wavefront queue's RegenStats.chains."""
+        ro = np.asarray(ro, np.float64)
+        rd = np.asarray(rd, np.float64)
+        self.chain_events = 0
+        out_f = np.zeros((len(ro), 3))
+        out_r = np.zeros((len(ro), 3))
+        for i in range(len(ro)):
+            tri, b, g, _ = self._nearest(ro[i], rd[i], -1)
+            if tri < 0:
+                continue
+            af = np.zeros(3)
+            ar = np.zeros(3)
+            for _ in range(spp):
+                lf, lr = self.shade_mis_pair(rng, tri, b, g, -rd[i])
+                af += lf
+                ar += lr
+            out_f[i] = af / spp
+            out_r[i] = ar / spp
+        return out_f, out_r
 
     def shade_split(self, rng, tri, beta, gamma, wo, depth=0):
         """main.cpp:269-344."""
@@ -479,9 +580,11 @@ class ScalarOracle:
 
     def trace(self, rng, ro, rd, spp: int):
         """Mean radiance of `spp` independent paths for each ray (the
-        reference's per-pixel loop, main.cpp:567-576)."""
+        reference's per-pixel loop, main.cpp:567-576). Resets/accumulates
+        ``self.chain_events`` (blocker mode)."""
         ro = np.asarray(ro, np.float64)
         rd = np.asarray(rd, np.float64)
+        self.chain_events = 0
         out = np.zeros((len(ro), 3))
         for i in range(len(ro)):
             tri, b, g, _ = self._nearest(ro[i], rd[i], -1)

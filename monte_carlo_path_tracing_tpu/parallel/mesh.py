@@ -77,9 +77,13 @@ def init_distributed_if_needed() -> None:
     addr = env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS")
     nproc = env.get("JAX_NUM_PROCESSES")
     pid = env.get("JAX_PROCESS_ID")
-    auto = any(
-        v in env for v in ("SLURM_JOB_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+    # SLURM auto-config only when the allocation actually describes a
+    # multi-task jax launch: a single-process run inside a SLURM allocation
+    # (CI, interactive srun shells) must not hang waiting for a coordinator.
+    slurm_multi = (
+        "SLURM_JOB_ID" in env and int(env.get("SLURM_NTASKS", "1") or 1) > 1
     )
+    auto = slurm_multi or "MEGASCALE_COORDINATOR_ADDRESS" in env
     if addr is None and not auto:
         return
     kwargs = {}
@@ -89,4 +93,16 @@ def init_distributed_if_needed() -> None:
         kwargs["num_processes"] = int(nproc)
     if pid is not None:
         kwargs["process_id"] = int(pid)
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        if addr is not None or not auto:
+            raise  # an explicit launch config that fails must be loud
+        # auto-detection misfired (SLURM env without a jax-compatible
+        # layout): fall back to single-process
+        import warnings
+
+        warnings.warn(
+            "jax.distributed.initialize() auto-config failed; continuing "
+            "single-process", RuntimeWarning, stacklevel=2,
+        )

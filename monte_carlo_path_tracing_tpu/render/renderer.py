@@ -94,8 +94,8 @@ def render_image_regen(
     done = 0
     while done < cfg.spp:
         step = min(spp_per_launch, cfg.spp - done)
-        fb, nrays, _, spill = fn(scene, key, jnp.int32(n_pix * step), jnp.int32(done))
-        spilled += int(spill)
+        fb, nrays, _, stats = fn(scene, key, jnp.int32(n_pix * step), jnp.int32(done))
+        spilled += int(stats.spilled)
         fb_acc += np.asarray(fb)
         rays += float(nrays)
         done += step

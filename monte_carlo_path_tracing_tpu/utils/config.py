@@ -87,10 +87,13 @@ class RenderConfig:
     # Regen renderer: reorder lanes by (direction cone, origin morton)
     # each iteration so kernel ray tiles are coherent and the pallas
     # tri-tile culling bites. Pure permutation — the estimate is unchanged
-    # (streams are keyed by (sample, pixel), not lane). Default OFF: XLA's
-    # TPU sort costs ~15 ms per 65k-lane iteration, more than the
-    # coherence saves at the bundled scenes' scale (docs/ARCHITECTURE.md).
+    # (streams are keyed by (sample, pixel), not lane). Round 2 left this
+    # OFF because XLA's bitonic argsort cost ~15 ms per 65k-lane iteration;
+    # the MXU counting/radix sort (ops/sort.py) replaced it in round 3.
     ray_sort: bool = False
+    # Sort every k-th regen iteration (coherence decays slowly as lanes die
+    # and regenerate; k>1 amortizes the sort). 1 = every iteration.
+    ray_sort_every: int = 1
 
     # Distribution
     mesh_shape: Tuple[int, ...] = ()    # () = single device
@@ -123,3 +126,5 @@ class RenderConfig:
             raise ValueError(
                 f"dot_mode must be None/'vpu'/'mxu'/'mxu_fast', got {self.dot_mode}"
             )
+        if self.ray_sort_every < 1:
+            raise ValueError("ray_sort_every must be >= 1")

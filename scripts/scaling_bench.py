@@ -54,12 +54,12 @@ def main():
         idx = jnp.arange(n, dtype=jnp.int32) % (256 * 256)
         ro, rd = generate_rays(cam, idx)
         out = render_rays_sharded(scene, cfg, key, ro, rd, mesh)
-        jax.block_until_ready(out)
+        np.asarray(out)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out = render_rays_sharded(scene, cfg, key, ro, rd, mesh)
-        jax.block_until_ready(out)
+        np.asarray(out)
         return (time.perf_counter() - t0) / reps
 
     if on_cpu_mesh:

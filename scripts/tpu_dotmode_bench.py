@@ -18,14 +18,7 @@ from monte_carlo_path_tracing_tpu.render.camera import generate_rays
 from monte_carlo_path_tracing_tpu.scene import load_scene
 
 
-def timed(fn, *args, n=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+from monte_carlo_path_tracing_tpu.utils.timing import timed  # noqa: E402
 
 
 def main():

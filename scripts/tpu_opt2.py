@@ -25,14 +25,7 @@ from monte_carlo_path_tracing_tpu.scene import load_scene
 from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
 
 
-def timed(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+from monte_carlo_path_tracing_tpu.utils.timing import timed  # noqa: E402
 
 
 def main():
@@ -89,10 +82,10 @@ def main():
         scene, camera=dataclasses.replace(scene.camera, width=512, height=512)
     )
     key = jax.random.key(0)
-    jax.block_until_ready(run(sc2, key, jnp.int32(N)))
+    np.asarray(run(sc2, key, jnp.int32(N))[0])
     t0 = time.perf_counter()
-    fb, nrays, iters = run(sc2, key, jnp.int32(n_pix * 8))
-    jax.block_until_ready(fb)
+    fb, nrays, iters, _ = run(sc2, key, jnp.int32(n_pix * 8))
+    np.asarray(fb)
     dt = time.perf_counter() - t0
     print(f"regen 512^2x8spp: {dt:.2f}s  {int(nrays)/dt/1e6:.2f} Mrays/s  "
           f"{n_pix*8/dt/1e3:.0f} kpaths/s  iters={int(iters)}", flush=True)

@@ -21,14 +21,7 @@ from monte_carlo_path_tracing_tpu.scene import load_scene
 from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
 
 
-def timed(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+from monte_carlo_path_tracing_tpu.utils.timing import timed  # noqa: E402
 
 
 def main():
@@ -79,10 +72,10 @@ def main():
     )
     run = jax.jit(lambda s, k, tot: render_regen(s, cfg, k, n_pix, tot, lanes=N))
     key = jax.random.key(0)
-    jax.block_until_ready(run(sc2, key, jnp.int32(N)))
+    np.asarray(run(sc2, key, jnp.int32(N))[0])
     t0 = time.perf_counter()
-    fb, nrays, iters = run(sc2, key, jnp.int32(n_pix * 8))
-    jax.block_until_ready(fb)
+    fb, nrays, iters, _ = run(sc2, key, jnp.int32(n_pix * 8))
+    np.asarray(fb)
     dt = time.perf_counter() - t0
     print(f"regen 512^2x8spp[{best}]: {dt:.2f}s  {float(nrays)/dt/1e6:.2f} "
           f"Mrays/s  {n_pix*8/dt/1e3:.0f} kpaths/s  iters={int(iters)}",

@@ -21,14 +21,7 @@ from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
 from monte_carlo_path_tracing_tpu.ops import intersect_pallas as ip
 
 
-def timed(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+from monte_carlo_path_tracing_tpu.utils.timing import timed  # noqa: E402
 
 
 def main():
@@ -79,10 +72,10 @@ def main():
     n_pix = 512 * 512
     run = jax.jit(lambda s, k, tot: render_regen(s, cfg, k, n_pix, tot, lanes=N))
     key = jax.random.key(0)
-    jax.block_until_ready(run(sc2, key, jnp.int32(N)))
+    np.asarray(run(sc2, key, jnp.int32(N))[0])
     t0 = time.perf_counter()
-    fb, nrays, iters = run(sc2, key, jnp.int32(n_pix * 8))
-    jax.block_until_ready(fb)
+    fb, nrays, iters, _ = run(sc2, key, jnp.int32(n_pix * 8))
+    np.asarray(fb)
     dt = time.perf_counter() - t0
     print(f"regen 512^2x8spp: {dt:.2f}s  {int(nrays)/dt/1e6:.2f} Mrays/s  "
           f"{n_pix*8/dt/1e3:.0f} kpaths/s  iters={int(iters)}", flush=True)

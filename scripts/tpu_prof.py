@@ -21,14 +21,11 @@ from monte_carlo_path_tracing_tpu.sampling import light_spherical, phong
 from monte_carlo_path_tracing_tpu.scene import load_scene
 
 
+from monte_carlo_path_tracing_tpu.utils.timing import timed as _timed  # noqa: E402
+
+
 def timed(fn, *args, n=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    return _timed(fn, *args, n=n)[0]
 
 
 def main():
@@ -114,10 +111,10 @@ def main():
         lambda k: render_regen(scene, cfg, k, 256 * 256, 256 * 256 * 8, lanes=N)
     )
     fb, nrays, iters, _ = f_regen(key)
-    jax.block_until_ready(fb)
+    np.asarray(fb)
     t0 = time.perf_counter()
     fb, nrays, iters, _ = f_regen(key)
-    jax.block_until_ready(fb)
+    np.asarray(fb)
     dt = time.perf_counter() - t0
     print(f"regen: {dt:.3f}s, {int(iters)} iters, {dt/int(iters)*1e3:.2f} ms/iter, "
           f"{float(nrays)/dt/1e6:.2f} Mrays/s", flush=True)

@@ -118,6 +118,23 @@ def test_regen_ref_mis_weights_and_uniform_sampler(cornell_scene):
 
 
 
+def test_regen_ray_sort_invariance(cornell_scene):
+    """cfg.ray_sort (lane permutation by direction/morton key, via the MXU
+    radix sort) must not change the image: streams are keyed by
+    (sample, pixel, depth), never by lane. Tolerance is f32 round-off (the
+    permutation changes matmul tiling)."""
+    scene = _small(cornell_scene)
+    cfg = RenderConfig(width=24, height=24, spp=2, estimator="mis", seed=6,
+                       max_depth=32)
+    a = render_image_regen(scene, cfg, lanes=512).image
+    b = render_image_regen(scene, cfg.replace(ray_sort=True), lanes=512).image
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    c = render_image_regen(
+        scene, cfg.replace(ray_sort=True, ray_sort_every=3), lanes=512
+    ).image
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
 def test_blocker_queue_vs_restructure(cornell_scene):
     """mis_blocker_compat (the reference's occluded-blocker recursion via
     the regen work queue) runs, traces MORE rays (the chains), spills
@@ -137,11 +154,11 @@ def test_blocker_queue_vs_restructure(cornell_scene):
     key = _rng.base_key(4)
 
     def run(cfg):
-        fb, nrays, _, spilled = jax.jit(
+        fb, nrays, _, stats = jax.jit(
             lambda s, k: render_regen(s, cfg, k, n_pix, n_pix * cfg.spp,
                                       lanes=512)
         )(scene, key)
-        return (np.asarray(fb) / cfg.spp, float(nrays), int(spilled))
+        return (np.asarray(fb) / cfg.spp, float(nrays), int(stats.spilled))
 
     img_nb, rays_nb, _ = run(RenderConfig(**base))
     img_bl, rays_bl, spill = run(RenderConfig(**base, mis_blocker_compat=True))
@@ -150,6 +167,61 @@ def test_blocker_queue_vs_restructure(cornell_scene):
     assert np.isfinite(img_bl).all()
     ratio = img_bl.mean() / img_nb.mean()
     assert 0.93 < ratio < 1.07, (img_bl.mean(), img_nb.mean())
+
+
+@pytest.mark.slow
+def test_blocker_queue_conservation(cornell_scene):
+    """Record every while_loop iteration (Python-loop substitute) and verify
+    the blocker work queue's bookkeeping record by record: every enqueued
+    chain is dequeued exactly once, with a unit-norm direction and nonzero
+    throughput (the round-2 dequeue bug handed freed lanes stale/zeroed
+    slots), nothing spills, and the queue drains."""
+    import dataclasses as dc
+    from unittest import mock
+
+    import jax
+
+    from monte_carlo_path_tracing_tpu.core import rng as _rng
+    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+
+    scene = _small(cornell_scene, wh=8)
+    cfg = RenderConfig(width=8, height=8, spp=24, estimator="mis",
+                       max_depth=32, seed=4, ref_mis_weights=True,
+                       branch_pdf_compat=True, mis_blocker_compat=True)
+
+    orig = jax.lax.while_loop
+    snaps = []
+
+    def py_while(cond, body, st):
+        if not (isinstance(st, dict) and "buf_count" in st):
+            return orig(cond, body, st)
+        snaps.append({k: np.asarray(v) for k, v in st.items()})
+        while bool(cond(st)):
+            st = body(st)
+            snaps.append({k: np.asarray(v) for k, v in st.items()})
+        return st
+
+    with mock.patch.object(jax.lax, "while_loop", py_while):
+        _, _, _, stats = render_regen(
+            scene, cfg, _rng.base_key(4), 64, 64 * cfg.spp, lanes=256
+        )
+
+    assert int(stats.spilled) == 0
+    started = {}
+    for it in range(1, len(snaps)):
+        prev, cur = snaps[it - 1], snaps[it]
+        newly = (cur["sample"] < 0) & cur["alive"] & (
+            (prev["sample"] != cur["sample"]) | ~prev["alive"]
+        )
+        for lane in np.nonzero(newly)[0]:
+            cid = int(-1 - cur["sample"][lane])
+            assert cid not in started, f"chain {cid} dequeued twice"
+            started[cid] = it
+            assert abs(np.linalg.norm(cur["rd"][lane]) - 1.0) < 1e-3
+            assert np.abs(cur["tp"][lane]).sum() > 0.0
+    assert int(stats.chains) > 0
+    assert len(started) == int(stats.chains)   # all dequeued exactly once
+    assert int(snaps[-1]["buf_count"]) == 0    # queue drained
 
 
 def test_blocker_flag_validation():
