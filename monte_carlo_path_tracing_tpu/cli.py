@@ -134,7 +134,23 @@ def cmd_render(args) -> int:
     if args.regen:
         from monte_carlo_path_tracing_tpu.render.renderer import render_image_regen
 
-        r = render_image_regen(scene, cfg, lanes=args.lanes)
+        on_launch = None
+        if args.preview:
+            # Progressive preview: the accumulating image after every device
+            # launch (the reference's per-scanline framebuffer flush,
+            # main.cpp:587, without a display server).
+            def on_launch(img, spp_done):
+                film.write_image(args.preview, img, cfg.max_radiance, cfg.gamma)
+                print(f"preview @ spp {spp_done} -> {args.preview}",
+                      file=sys.stderr, flush=True)
+
+        kw = {}
+        if args.preview_every:
+            kw["max_samples_per_launch"] = (
+                scene.camera.height * scene.camera.width * args.preview_every
+            )
+        r = render_image_regen(scene, cfg, lanes=args.lanes,
+                               on_launch=on_launch, **kw)
         image, seconds = r.image, r.seconds
     # render_image handles chunking; with --checkpoint-every the render runs
     # in spp segments so the framebuffer sum is available to save atomically.
@@ -248,6 +264,12 @@ def main(argv=None) -> int:
     )
     pr.add_argument("--lanes", type=int, default=1 << 16,
                     help="wavefront lanes for --regen")
+    pr.add_argument("--preview", default=None, metavar="PATH",
+                    help="with --regen: write the accumulating image here "
+                         "after every launch (progressive display)")
+    pr.add_argument("--preview-every", type=int, default=0, metavar="SPP",
+                    help="with --preview: cap launches to SPP samples/pixel "
+                         "so previews refresh at least that often")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("inverse", help="inverse-rendering recovery demo")

@@ -53,6 +53,7 @@ def render_image_regen(
     cfg: RenderConfig,
     lanes: int = 1 << 16,
     max_samples_per_launch: int = 16 << 20,
+    on_launch: Optional[Callable[[np.ndarray, int], None]] = None,
 ) -> RenderResult:
     """Path-regeneration renderer (integrator/regen.py): full-occupancy
     wavefront, the fast path for forward renders and the benchmark.
@@ -63,6 +64,11 @@ def render_image_regen(
     and per-launch splitting also gives progressive accumulation for free.
     Streams are keyed by global (spp index, pixel id) — `spp0` rides into
     each launch — so the image is invariant to the launch split.
+
+    ``on_launch(mean_image_hwc, spp_done)`` fires after every launch with
+    the accumulated mean image so far — the progressive-display hook (the
+    reference flushes its framebuffer per scanline, main.cpp:587; the CLI's
+    --preview writes a PNG here).
     """
     from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
 
@@ -99,6 +105,10 @@ def render_image_regen(
         fb_acc += np.asarray(fb)
         rays += float(nrays)
         done += step
+        if on_launch is not None:
+            on_launch(
+                (fb_acc / done).reshape(cam.height, cam.width, 3), done
+            )
     seconds = time.perf_counter() - t0
     if spilled:
         # Blocker-chain queue overflowed (mis_blocker_compat): `spilled`

@@ -29,6 +29,7 @@ import dataclasses
 import json
 
 import jax.numpy as jnp
+import numpy as np
 
 from monte_carlo_path_tracing_tpu.parallel import make_mesh, render_rays_sharded
 from monte_carlo_path_tracing_tpu.render.camera import generate_rays
@@ -62,6 +63,19 @@ def main():
         np.asarray(out)
         return (time.perf_counter() - t0) / reps
 
+    def run_regen(nd, lanes_per_dev, spp):
+        from monte_carlo_path_tracing_tpu.parallel.sharded import (
+            make_regen_sharded,
+        )
+
+        mesh = make_mesh((nd,), ("tiles",), devices=jax.devices()[:nd])
+        fn = make_regen_sharded(scene, cfg, mesh, lanes_per_dev)
+        np.asarray(fn(scene, key, jnp.int32(1))[0])
+        t0 = time.perf_counter()
+        fb, nrays = fn(scene, key, jnp.int32(spp))
+        np.asarray(fb)
+        return time.perf_counter() - t0, float(nrays)
+
     if on_cpu_mesh:
         # Virtual devices share the same silicon, so rays/s cannot scale
         # with device count; the meaningful CPU-mesh number is the
@@ -71,12 +85,24 @@ def main():
         t8 = run(8, n)
         print(f"1 device:  {n} rays in {t1*1e3:.1f} ms", flush=True)
         print(f"8 devices: {n} rays in {t8*1e3:.1f} ms", flush=True)
-        print(json.dumps({
+        # The production bench path: sharded regen, fixed total lanes.
+        tr1, rays1 = run_regen(1, 2048, 2)
+        tr8, rays8 = run_regen(8, 256, 2)
+        print(f"regen 1 device:  {tr1*1e3:.1f} ms ({rays1:.0f} rays)", flush=True)
+        print(f"regen 8 devices: {tr8*1e3:.1f} ms ({rays8:.0f} rays)", flush=True)
+        result = {
             "sharding_overhead_pct": round(100 * (t8 / t1 - 1), 1),
+            "regen_sharding_overhead_pct": round(100 * (tr8 / tr1 - 1), 1),
+            "regen_rays_match": abs(rays1 - rays8) / rays1 < 0.02,
             "mesh": "virtual CPU, fixed total work (validates the sharded "
                     "path; run with SCALE_PLATFORM=tpu on a pod slice for "
                     "real scaling efficiency)",
-        }))
+        }
+        print(json.dumps(result))
+        out = os.path.join(here, "docs", "scaling_cpu_mesh.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        print("wrote", out)
         return
 
     for nd in (1, 2, 4, 8, 16, 32):

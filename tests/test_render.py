@@ -151,3 +151,25 @@ def test_golden_image_regression(cornell_scene):
         raise AssertionError("golden image created — rerun the test")
     golden = np.load(path)
     np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_regen_on_launch_progressive(cornell_scene):
+    """render_image_regen's on_launch hook fires once per launch with the
+    accumulated mean image (the progressive-preview surface; the final
+    callback equals the returned image)."""
+    import dataclasses
+
+    from monte_carlo_path_tracing_tpu.render.renderer import render_image_regen
+    from monte_carlo_path_tracing_tpu.utils.config import RenderConfig
+
+    cam = dataclasses.replace(cornell_scene.camera, width=16, height=16)
+    scene = dataclasses.replace(cornell_scene, camera=cam)
+    cfg = RenderConfig(width=16, height=16, spp=4, estimator="mis",
+                       max_depth=4, seed=0)
+    seen = []
+    r = render_image_regen(
+        scene, cfg, lanes=256, max_samples_per_launch=256,
+        on_launch=lambda img, spp: seen.append((img.copy(), spp)),
+    )
+    assert [s for _, s in seen] == [1, 2, 3, 4]
+    np.testing.assert_allclose(seen[-1][0], r.image, rtol=1e-6)
