@@ -36,7 +36,6 @@ from monte_carlo_path_tracing_tpu.integrator.wavefront import (
     _impl, _light_pdf_of_hit, _nee_term, _sample_light,
 )
 from monte_carlo_path_tracing_tpu.ops import intersect as ops_intersect
-from monte_carlo_path_tracing_tpu.ops import sort as ops_sort
 from monte_carlo_path_tracing_tpu.render.camera import camera_basis, pixel_len
 from monte_carlo_path_tracing_tpu.sampling import light_spherical, light_uniform, phong
 from monte_carlo_path_tracing_tpu.scene.types import Scene
@@ -214,10 +213,12 @@ def render_regen(
         Pure permutation of per-lane state: every draw is keyed by the
         lane's (sample, pixel, depth), so the estimate is unchanged.
 
-        The permutation comes from the MXU counting/radix sort
-        (ops/sort.py, ~0.7 ms/8-bit pass at 65k lanes) rather than XLA's
-        bitonic argsort (~15 ms) — the cost that kept culling default-off
-        in round 2."""
+        The permutation comes from ``jnp.argsort`` — measured at 1.2 ms
+        for 65k int32 keys, beating the MXU radix sort built to replace it
+        (ops/sort.py, 11.5 ms; docs/tpu_sort_cull.json). The dominant cost
+        of sorting is applying the permutation to the lane-state arrays
+        (~4 ms), which with culling's measured ~1.5 ms/iter saving keeps
+        ray_sort default-off at the bundled scenes' scale."""
         ro, rd = st["ro"], st["rd"]
         q = jnp.clip(
             ((ro - scene_lo) * scene_inv * 31.0).astype(jnp.int32), 0, 31
@@ -234,10 +235,7 @@ def render_regen(
         dkey = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
         # idle lanes sort to the back so live work stays dense in tiles
         key = jnp.where(st["alive"], (dkey << 15) | morton, (1 << 24) - 1)
-        if C % 256 == 0:
-            order = ops_sort.sort_perm(key, key_bits=24)
-        else:  # tiny lane counts (tests): fall back to the bitonic sort
-            order = jnp.argsort(key)
+        order = jnp.argsort(key)
         out = dict(st)
         for k in _LANE_ARRAYS:
             out[k] = st[k][order]

@@ -40,13 +40,15 @@ from monte_carlo_path_tracing_tpu.ops.intersect_ref import (
 #: tile size is a wash (7.1-8.6 ms nearest across 128..1792); WITH the
 #: morton-tile culling, small 128-triangle tiles win at the KERNEL level on
 #: coherent ray tiles (scripts/tpu_cull_bench.py: occluded 5.5 -> 2.0 ms,
-#: nearest 7.2 -> 6.1 ms at mask density ~0.5) — but making regen-loop ray
-#: tiles coherent needs a per-iteration lane sort, and XLA's TPU sort costs
-#: ~15 ms per 65k-lane iteration, more than culling saves end-to-end at
-#: this scene scale (scripts/tpu_regen_ablate.py). Defaults therefore stay
-#: at the unculled configuration; culling/sorting remain opt-in knobs
-#: (ops.intersect.CULL_NEAREST/CULL_OCCLUDED + cfg.ray_sort) that win once
-#: tiles are naturally coherent (camera-ray passes, larger scenes).
+#: nearest 7.2 -> 6.1 ms at mask density ~0.5). End-to-end in the regen
+#: loop it still loses (round-3 decomposition, docs/tpu_sort_cull.json):
+#: with lanes sorted every iteration, culling saves only ~1.5 ms/iter at
+#: this scene scale, while the sort costs ~5 ms even with the cheap
+#: jnp.argsort (1.2 ms for the keys; the rest is permuting 13 lane-state
+#: arrays). Defaults therefore stay at the unculled configuration;
+#: culling/sorting remain opt-in knobs (ops.intersect.CULL_NEAREST/
+#: CULL_OCCLUDED + cfg.ray_sort) that win once tiles are naturally
+#: coherent (camera-ray passes, larger scenes).
 RAY_TILE = 512
 TRI_TILE = 1792
 
