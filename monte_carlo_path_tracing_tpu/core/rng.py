@@ -89,6 +89,39 @@ def uniform(key: jax.Array, shape, minval=0.0, maxval=1.0) -> jnp.ndarray:
     )(key)
 
 
+def pick_weighted(
+    key: jax.Array,
+    weights: jnp.ndarray,
+    n_rows: int,
+    weights_sum: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[n_rows] categorical draws proportional to non-negative ``weights``
+    ([L] shared or [n_rows, L] per-row) by inverse-CDF: ONE uniform per row
+    plus a cumsum/compare, instead of the gumbel trick's [rows, L] bits +
+    log + argmax (which dominated the NEE phase cost on v5e — the gumbel
+    path draws L uniforms per lane). This is the TPU form of the
+    reference's ``std::discrete_distribution`` (Mylight.cpp:112-135,
+    435-438), which is also inverse-CDF.
+
+    Zero-weight entries are never selected (up to float coincidences on
+    CDF plateau boundaries, where the draw lands on the next positive
+    entry); all-zero rows return the last index — callers flag those rows
+    invalid via their own weights_sum guard. ``weights_sum`` (per-row total)
+    avoids recomputing the reduction when the caller already has it."""
+    u = uniform(key, (n_rows,))
+    if weights.ndim == 1:
+        cdf = jnp.cumsum(weights)                            # [L]
+        total = cdf[-1] if weights_sum is None else weights_sum
+        thresh = u * total                                   # [N]
+        idx = jnp.sum((cdf[None, :] <= thresh[:, None]).astype(jnp.int32), axis=-1)
+        return jnp.minimum(idx, weights.shape[0] - 1)
+    cdf = jnp.cumsum(weights, axis=-1)                       # [N, L]
+    total = cdf[:, -1] if weights_sum is None else weights_sum
+    thresh = u * total
+    idx = jnp.sum((cdf <= thresh[:, None]).astype(jnp.int32), axis=-1)
+    return jnp.minimum(idx, weights.shape[-1] - 1)
+
+
 def categorical(key: jax.Array, logits: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     """[n_rows] categorical draws from ``logits`` ([L] shared, or [n_rows, L]
     per-row); a batched key uses one stream per row."""

@@ -262,6 +262,10 @@ def render_regen(
         depth = st["depth"]
         # Stream keys of the (sample, pixel) each lane is currently tracing.
         lk = lane_stream(st["sample"], st["pixel"])
+        # Hoist the depth fold: bounce_key(lk, depth, p) == fold(lk_d, p),
+        # so the three per-iteration purposes share one [C] threefry fold
+        # instead of paying it each (stream-identical by construction).
+        lk_d = rng.fold_in(lk, depth)
 
         # ---- one bounce for live lanes (semantics of wavefront._run_mis
         #      / _run_split / _run_brdf depending on cfg.estimator) ----
@@ -300,7 +304,7 @@ def render_regen(
         # Russian roulette placement differs per estimator (Q6/§3.2-3.3):
         # mis: gates both strategies; split: only the continuation; brdf:
         # before the bounce.
-        xi_rr = rng.uniform(rng.bounce_key(lk, depth, rng.P_RR), (C,))
+        xi_rr = rng.uniform(rng.fold_in(lk_d, rng.P_RR), (C,))
         survive = xi_rr < cfg.rr_prob
         w_rr = 1.0 / cfg.rr_prob
 
@@ -310,7 +314,7 @@ def render_regen(
 
         # Light strategy / direct term.
         if cfg.estimator in (EST_MIS, EST_SPLIT):
-            kstep = rng.bounce_key(lk, depth, rng.P_LIGHT_SELECT)
+            kstep = rng.fold_in(lk_d, rng.P_LIGHT_SELECT)
             if cfg.estimator == EST_MIS:
                 if spherical:
                     ls, wsum = light_spherical.sample(kstep, scene, si.p, si.ns)
@@ -344,7 +348,7 @@ def render_regen(
             tp_rr = w_rr
 
         # BRDF bounce.
-        kstep_b = rng.bounce_key(lk, depth, rng.P_BSDF)
+        kstep_b = rng.fold_in(lk_d, rng.P_BSDF)
         bs = phong.sample_brdf(
             kstep_b, si.ns, si.wo, si.kd, si.ks, si.ns_exp,
             branch_pdf_compat=cfg.branch_pdf_compat,

@@ -69,8 +69,21 @@ def _tri_tile(T: int, mode: str = "vpu") -> int:
 #:                roughly half of f32's mantissa). Accept-test decisions may
 #:                flip deterministically on a ~1e-5-relative fringe of
 #:                grazing edge cases; validated against the exact kernel on
-#:                full renders (scripts/tpu_pallas_bench.py).
-DOT_MODE = "vpu"
+#:                full renders (scripts/tpu_pallas_bench.py), and the
+#:                image-level effect measured at 0.6-3% of ordinary
+#:                seed-to-seed MC noise at equal spp
+#:                (docs/tpu_dotmode_variance.json) — statistically free.
+#:
+#: Default: mxu_fast on TPU (-12% nearest-kernel time, see the variance
+#: study above); vpu elsewhere (the exact mode — interpret-mode tests pin
+#: it against the jnp reference bit-for-bit).
+DOT_MODE = None  # resolved per-backend by _default_mode()
+
+
+def _default_mode() -> str:
+    if DOT_MODE is not None:
+        return DOT_MODE
+    return "mxu_fast" if jax.default_backend() == "tpu" else "vpu"
 
 # Python-literal twins of intersect_ref's jnp sentinels (a pallas kernel may
 # not capture traced constants).
@@ -470,7 +483,7 @@ def intersect_pallas(ro, rd, W, tri_ids, exclude_id=None, t_eps=T_EPS,
         exclude_id = jnp.full((N,), NO_HIT, jnp.int32)
     interpret = jax.default_backend() == "cpu"
     return _call_nearest(ro, rd, W, tri_ids, exclude_id, float(t_eps),
-                         interpret, mode or DOT_MODE, aabb_lo, aabb_hi)
+                         interpret, mode or _default_mode(), aabb_lo, aabb_hi)
 
 
 def occluded_pallas(ro, rd, W, tri_ids, exclude_id, t_max, t_eps=T_EPS,
@@ -480,5 +493,5 @@ def occluded_pallas(ro, rd, W, tri_ids, exclude_id, t_max, t_eps=T_EPS,
     interpret = jax.default_backend() == "cpu"
     return _call_occluded(
         ro, rd, W, tri_ids, exclude_id, t_max, float(t_eps), interpret,
-        mode or DOT_MODE, aabb_lo, aabb_hi
+        mode or _default_mode(), aabb_lo, aabb_hi
     )

@@ -262,11 +262,9 @@ def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
     weights, weights_sum = prepare(scene, x1, n)
     has = weights_sum > EPS
 
-    logits = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf)
-    # Guard all -inf rows (categorical would produce garbage): give them a
-    # uniform dummy row; the sample is flagged invalid anyway.
-    logits = jnp.where(has[:, None], logits, 0.0)
-    lidx = rng.categorical(k_sel, logits, x1.shape[0])               # [N]
+    # Inverse-CDF pick (one uniform per lane; all-zero rows are flagged
+    # invalid via ``has`` below, whatever index they land on).
+    lidx = rng.pick_weighted(k_sel, weights, x1.shape[0], weights_sum)
 
     rec = light_table(scene)[lidx]                       # [N,16] single gather
     pa_s, pb_s, pc_s = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]

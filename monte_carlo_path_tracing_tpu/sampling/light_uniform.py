@@ -81,8 +81,7 @@ def sample(key: jax.Array, scene: Scene, n_rays: int) -> LightSample:
     """Draw one light point per ray (batched)."""
     p_sel = select_table(scene)
     k_sel, k_warp = rng.fold_in(key, 0), rng.fold_in(key, 1)
-    logits = jnp.log(jnp.maximum(p_sel, 1e-30))
-    lidx = rng.categorical(k_sel, logits, n_rays)                  # [N]
+    lidx = rng.pick_weighted(k_sel, p_sel, n_rays)                 # [N]
     xi = rng.uniform(k_warp, (n_rays, 2))
 
     beta = 1.0 - jnp.sqrt(jnp.maximum(1.0 - xi[:, 0], 0.0))

@@ -39,15 +39,19 @@ SPP = 16
 SEEDS = (0, 1, 2, 3)
 
 
-def render(scene, seed, mode):
+def make_render(mode):
+    """One jitted program per dot mode (the seed rides in as the key
+    argument, so all seeds share the compile)."""
     cfg = RenderConfig(width=RES, height=RES, spp=SPP, estimator="mis",
                        light_sampler="spherical_triangle", max_depth=32,
-                       seed=seed, dot_mode=mode)
+                       dot_mode=mode)
     n_pix = RES * RES
-    fb, nrays, _, _ = jax.jit(
+    run = jax.jit(
         lambda s, k: render_regen(s, cfg, k, n_pix, n_pix * SPP, lanes=1 << 16)
-    )(scene, rng.base_key(seed))
-    return np.asarray(fb) / SPP
+    )
+    return lambda scene, seed: np.asarray(
+        run(scene, rng.base_key(seed))[0]
+    ) / SPP
 
 
 def rmse(a, b):
@@ -62,8 +66,9 @@ def main():
         scene = dataclasses.replace(
             scene, camera=dataclasses.replace(scene.camera, width=RES, height=RES))
         t0 = time.perf_counter()
-        vpu = {s: render(scene, s, "vpu") for s in SEEDS}
-        fast = {s: render(scene, s, "mxu_fast") for s in SEEDS}
+        r_vpu, r_fast = make_render("vpu"), make_render("mxu_fast")
+        vpu = {s: r_vpu(scene, s) for s in SEEDS}
+        fast = {s: r_fast(scene, s) for s in SEEDS}
         mode_rmse = [rmse(vpu[s], fast[s]) for s in SEEDS]
         seed_rmse = [rmse(vpu[a], vpu[b])
                      for i, a in enumerate(SEEDS) for b in SEEDS[i + 1:]]
