@@ -143,6 +143,13 @@ def render_regen(
     blocker = bool(cfg.mis_blocker_compat) and cfg.estimator == EST_MIS
     tri_to_light = common.light_index_table(scene)
     spherical = cfg.light_sampler == LS_SPHERICAL
+    # Fused Arvo selection kernel (ops/arvo_pallas.py): auto-on for TPU.
+    # CPU defaults to the jnp path so the exact-stream parity tests
+    # against the fixed-depth wavefront stay bit-exact.
+    fused_arvo = (
+        bool(cfg.fused_arvo) if cfg.fused_arvo is not None
+        else jax.default_backend() == "tpu"
+    )
     cam = scene.camera
 
     u_ax, v_ax, n_ax, dist = camera_basis(cam)
@@ -317,7 +324,9 @@ def render_regen(
             kstep = rng.fold_in(lk_d, rng.P_LIGHT_SELECT)
             if cfg.estimator == EST_MIS:
                 if spherical:
-                    ls, wsum = light_spherical.sample(kstep, scene, si.p, si.ns)
+                    ls, wsum = light_spherical.sample(
+                        kstep, scene, si.p, si.ns, fused=fused_arvo
+                    )
                 else:
                     ls = light_uniform.sample(kstep, scene, C)
                     wsum = jnp.zeros((C,))

@@ -251,20 +251,34 @@ def _arvo_warp(key, A, B, C, alpha, cos_c, sA):
     return vm.normalize(P)
 
 
-def sample(key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray):
+def sample(
+    key: jax.Array, scene: Scene, x1: jnp.ndarray, n: jnp.ndarray,
+    fused: bool = False,
+):
     """Batched 'lights_spherical_triangle_sampling' (Mylight.cpp:424-482).
 
     Returns (LightSample, weights_sum[N]). pdf is a solid-angle density;
     rays with no projectable light triangle get the reference's dummy
     below-surface sample with pdf 1 and valid=False (Mylight.cpp:427-430).
+
+    ``fused=True`` runs projection + pick as one Pallas kernel
+    (ops/arvo_pallas.py — the [N, L] field never touches HBM; forward
+    renderers only, the kernel is not differentiable). Both paths consume
+    the SAME uniform from k_sel; picks agree except within f32 rounding of
+    CDF boundaries (see the kernel's module docstring).
     """
     k_sel, k_warp = rng.fold_in(key, 0), rng.fold_in(key, 1)
-    weights, weights_sum = prepare(scene, x1, n)
-    has = weights_sum > EPS
+    if fused:
+        from monte_carlo_path_tracing_tpu.ops.arvo_pallas import arvo_select
 
-    # Inverse-CDF pick (one uniform per lane; all-zero rows are flagged
-    # invalid via ``has`` below, whatever index they land on).
-    lidx = rng.pick_weighted(k_sel, weights, x1.shape[0], weights_sum)
+        u = rng.uniform(k_sel, (x1.shape[0],))
+        lidx, weights_sum = arvo_select(scene, x1, n, u)
+    else:
+        weights, weights_sum = prepare(scene, x1, n)
+        # Inverse-CDF pick (one uniform per lane; all-zero rows are flagged
+        # invalid via ``has`` below, whatever index they land on).
+        lidx = rng.pick_weighted(k_sel, weights, x1.shape[0], weights_sum)
+    has = weights_sum > EPS
 
     rec = light_table(scene)[lidx]                       # [N,16] single gather
     pa_s, pb_s, pc_s = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]

@@ -87,13 +87,22 @@ class RenderConfig:
     # Regen renderer: reorder lanes by (direction cone, origin morton)
     # each iteration so kernel ray tiles are coherent and the pallas
     # tri-tile culling bites. Pure permutation — the estimate is unchanged
-    # (streams are keyed by (sample, pixel), not lane). Round 2 left this
-    # OFF because XLA's bitonic argsort cost ~15 ms per 65k-lane iteration;
-    # the MXU counting/radix sort (ops/sort.py) replaced it in round 3.
+    # (streams are keyed by (sample, pixel), not lane). OFF by default:
+    # the round-3 decomposition (docs/tpu_sort_cull.json) measured culling
+    # at ~1.5 ms/iter saved vs ~5 ms sort cost at the bundled scenes'
+    # scale; the knob wins only on naturally coherent batches / larger
+    # scenes.
     ray_sort: bool = False
     # Sort every k-th regen iteration (coherence decays slowly as lanes die
     # and regenerate; k>1 amortizes the sort). 1 = every iteration.
     ray_sort_every: int = 1
+    # Regen renderer: fuse the Arvo [N, L] projection + triangle pick into
+    # one Pallas kernel (ops/arvo_pallas.py) — the [N, L] field never
+    # touches HBM. None = auto (on for TPU, off elsewhere so CPU tests pin
+    # the jnp path). The pick can differ from the jnp path's by one index
+    # when the uniform lands within f32 rounding of a CDF boundary
+    # (summation-order difference; same fringe class as mxu_fast).
+    fused_arvo: Optional[bool] = None
 
     # Distribution
     mesh_shape: Tuple[int, ...] = ()    # () = single device
