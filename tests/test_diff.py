@@ -202,7 +202,10 @@ def test_inverse_rendering_joint_four_families(cornell_scene, veach_scene):
     assert c["ks"][1] < 0.6 * c["ks"][0], c["ks"]
     assert c["em_rel"][1] < 0.25 * c["em_rel"][0], c["em_rel"]
 
+    # Gates sized from a two-seed sweep at this budget (worst ratios
+    # 0.37 / 0.39 / 0.32); the 1500-step x 4096-ray artifact run reaches
+    # 0.22 / 0.13 / 0.078 (docs/inverse_joint_recovery.json).
     v = joint(veach_scene, (48, 27), 300, 648, 0.06, 5.0, 2)
-    assert v["ks"][1] < 0.45 * v["ks"][0], v["ks"]
-    assert v["ns_log"][1] < 0.6 * v["ns_log"][0], v["ns_log"]
-    assert v["em_rel"][1] < 0.35 * v["em_rel"][0], v["em_rel"]
+    assert v["ks"][1] < 0.43 * v["ks"][0], v["ks"]
+    assert v["ns_log"][1] < 0.45 * v["ns_log"][0], v["ns_log"]
+    assert v["em_rel"][1] < 0.34 * v["em_rel"][0], v["em_rel"]
