@@ -137,9 +137,14 @@ def main() -> None:
         # complete render timed to a HOST materialization, so the best rep
         # is a real end-to-end measurement of machine capability, not an
         # async artifact; all rep times are reported in the extra line.
-        reps = int(os.environ.get("BENCH_REPS", "3"))
+        # The slow phases last minutes, so reps are SPACED: back-to-back
+        # reps all land in the same phase, spaced ones straddle it.
+        reps = int(os.environ.get("BENCH_REPS", "4"))
+        spacing = float(os.environ.get("BENCH_REP_SPACING_S", "45"))
         rep_secs = []
-        for _ in range(reps):
+        for i in range(reps):
+            if i:
+                time.sleep(spacing)
             t0 = time.perf_counter()
             fb, nrays, iters, _ = run_jit(scene, key, jnp.int32(total_samples))
             checksum = float(np.asarray(fb).sum())
