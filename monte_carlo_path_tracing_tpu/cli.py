@@ -66,7 +66,17 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "grid + 3D-DDA, C10/C12)")
     p.add_argument("--dot-mode", default=None,
                    choices=[None, "vpu", "mxu", "mxu_fast"],
-                   help="pallas kernel dot mode (mxu_fast = bf16x3 MXU)")
+                   help="pallas kernel dot mode (default: mxu_fast on TPU, "
+                        "exact vpu elsewhere)")
+    p.add_argument("--ray-sort", action="store_true",
+                   help="regen lane coherence sort (pure permutation; "
+                        "opt-in — a measured net loss at the bundled "
+                        "scenes' scale, docs/tpu_sort_cull.json)")
+    p.add_argument("--fused-arvo", default=None, action="store_true",
+                   help="force the fused Pallas Arvo selection kernel "
+                        "(default: auto — on for TPU)")
+    p.add_argument("--no-fused-arvo", dest="fused_arvo", action="store_false",
+                   help="force the jnp Arvo selection path")
 
 
 def _load_scene(args):
@@ -108,6 +118,8 @@ def _make_cfg(args, cam):
         use_pallas=None if args.impl is None else (args.impl == "pallas"),
         dot_mode=args.dot_mode,
         accel=args.accel,
+        ray_sort=getattr(args, "ray_sort", False),
+        fused_arvo=getattr(args, "fused_arvo", None),
     )
 
 
