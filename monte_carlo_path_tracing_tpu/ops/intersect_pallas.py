@@ -253,6 +253,116 @@ def _kernel_occluded(g_ref, w_ref, ids_ref, excl_ref, tmax_ref, *rest,
     out_ref[...] = blocked[:, None]
 
 
+def _accept_epilogue(det, u_num, v_num, t_num, ids, excl, t_eps):
+    """Shared margin composition (see _tile_accepts)."""
+    s = jnp.sign(det)
+    adet = det * s
+    up = u_num * s
+    vp = v_num * s
+    tp = t_num * s
+    m = jnp.minimum(up, vp)
+    m = jnp.minimum(m, adet - (up + vp))
+    m = jnp.minimum(m, tp - t_eps * adet)
+    m = jnp.minimum(m, adet - DET_EPS)
+    m = jnp.where(ids[None, :] == excl, -1.0, m)
+    return m, tp, adet
+
+
+def _tile_accepts_s(g, wblk, ids, excl, t_eps, mode):
+    """Streamed-variant accept computation: ``wblk`` is THIS tile's
+    coefficient block delivered by the grid ([4,10,TT] f32, or a
+    ([4,10,TT],[4,10,TT]) bf16 hi/lo pair for mxu_fast whose split was
+    done ONCE outside the kernel)."""
+    if mode == "mxu_fast":
+        wh, wl = wblk
+        g_hi, g_lo = _split_bf16(g)
+        d = jax.lax.Precision.DEFAULT
+        dd = lambda i: _mxu(g_hi, wh[i], d) + (
+            _mxu(g_hi, wl[i], d) + _mxu(g_lo, wh[i], d))
+    else:
+        dd = lambda i: _dot(g, wblk[i], mode)
+    return _accept_epilogue(
+        dd(0), dd(1), dd(2), dd(3), ids, excl, t_eps)
+
+
+def _unpack_stream_refs(refs, mode, n_out):
+    """(g, ids, excl, w...[, extra...], outs...) -> pieces. mxu_fast
+    carries two w refs (hi/lo), other modes one."""
+    nw = 2 if mode == "mxu_fast" else 1
+    g_ref, ids_ref, excl_ref = refs[:3]   # ids block: [1, 1, tile]
+    w_refs = refs[3:3 + nw]
+    extra = refs[3 + nw:len(refs) - n_out]
+    outs = refs[len(refs) - n_out:]
+    if mode == "mxu_fast":
+        wblk = (w_refs[0][0], w_refs[1][0])
+    else:
+        wblk = w_refs[0][0]
+    return g_ref, ids_ref, excl_ref, wblk, extra, outs
+
+
+def _kernel_nearest_s(*refs, t_eps: float, mode: str):
+    """Streamed nearest: grid = (ray tiles, tri tiles); the output block
+    (indexed by ray tile only) is revisited across the minor tri-tile
+    dim and accumulates the running min — W tiles live in VMEM only one
+    (double-buffered) block at a time, so T is bounded by HBM, not VMEM."""
+    g_ref, ids_ref, excl_ref, wblk, _, (t_ref, idx_ref) = \
+        _unpack_stream_refs(refs, mode, 2)
+    b = pl.program_id(1)
+    g = g_ref[...]
+    excl = excl_ref[...]
+    ids = ids_ref[0, 0]
+    m, tp, adet = _tile_accepts_s(g, wblk, ids, excl, t_eps, mode)
+    t = jnp.where(m >= 0.0, tp / jnp.where(adet > 0, adet, 1.0), _BIG_T)
+    tile_best = jnp.min(t, axis=1)
+    lane = jnp.argmin(t, axis=1).astype(jnp.int32)
+
+    @pl.when(b == 0)
+    def _init():
+        t_ref[...] = jnp.full(t_ref.shape, _BIG_T, jnp.float32)
+        idx_ref[...] = jnp.full(idx_ref.shape, _NO_HIT, jnp.int32)
+
+    prev_t = t_ref[...][:, 0]
+    prev_i = idx_ref[...][:, 0]
+    better = tile_best < prev_t
+    t_ref[...] = jnp.where(better, tile_best, prev_t)[:, None]
+    idx_ref[...] = jnp.where(
+        better, b * t.shape[1] + lane, prev_i)[:, None]
+
+
+def _kernel_occluded_s(*refs, t_eps: float, mode: str):
+    """Streamed any-hit (see _kernel_nearest_s): OR-accumulates blocked
+    across the minor tri-tile grid dim."""
+    g_ref, ids_ref, excl_ref, wblk, (tmax_ref,), (out_ref,) = \
+        _unpack_stream_refs(refs, mode, 1)
+    b = pl.program_id(1)
+    g = g_ref[...]
+    excl = excl_ref[...]
+    tmax = tmax_ref[...]
+    m, tp, adet = _tile_accepts_s(g, wblk, ids_ref[0, 0], excl, t_eps, mode)
+    hit_close = (m >= 0.0) & (tp < tmax * adet)
+    tile_blocked = (jnp.sum(hit_close.astype(jnp.int32), axis=1) > 0)
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+
+    out_ref[...] = out_ref[...] | tile_blocked.astype(jnp.int32)[:, None]
+
+
+def _stream_w_inputs(Wb, tile, mode):
+    """(w_args, w_specs) for the streamed calls; mxu_fast ships the bf16
+    hi/lo split computed once (same elementwise values as the in-kernel
+    split of the resident path)."""
+    spec = pl.BlockSpec(
+        (1, 4, 10, tile), lambda i, b: (b, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if mode == "mxu_fast":
+        wh, wl = _split_bf16(Wb)
+        return [wh, wl], [spec, spec]
+    return [Wb], [spec]
+
+
 def _tile_aabbs(lo, hi, tile):
     """Per-triangle AABBs [Tp,3] -> per-tile AABBs [nb,3] (padding to the
     kernel tile with empty boxes, matching _pack_blocks)."""
@@ -375,9 +485,13 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
     g, (excl, ro_p, rd_p) = _pad_rays(g, [exclude_id, ro, rd], [NO_HIT, 0.0, 0.0])
     Np = g.shape[0]
 
-    col, in_specs = _common_specs(nb, tile)
-    args = [g, Wb, idb, excl[:, None]]
+    out_shape = [
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+    ]
     if cull:
+        col, in_specs = _common_specs(nb, tile)
+        args = [g, Wb, idb, excl[:, None]]
         lo_t, hi_t = _tile_aabbs(lo, hi, tile)
         order, te = _cull_masks(ro_p, rd_p, lo_t, hi_t, jnp.full((Np,), _BIG_T))
         cap = _scene_exit_cap(ro_p, rd_p, lo_t, hi_t, t_eps)
@@ -387,22 +501,45 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
             pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),  # cap
         ]
         args += [order, te, cap[:, None]]
-    t, idx = pl.pallas_call(
-        functools.partial(
-            _kernel_nearest, nb=nb, t_eps=t_eps, mode=mode, cull=cull
-        ),
-        grid=(Np // RAY_TILE,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(*args)
+        t, idx = pl.pallas_call(
+            functools.partial(
+                _kernel_nearest, nb=nb, t_eps=t_eps, mode=mode, cull=True
+            ),
+            grid=(Np // RAY_TILE,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+    else:
+        # Streamed: W tiles flow through VMEM one block at a time (the
+        # minor grid dim), so triangle count is HBM-bounded — the resident
+        # form OOMs scoped VMEM beyond ~16k triangles in mxu_fast.
+        w_args, w_specs = _stream_w_inputs(Wb, tile, mode)
+        ray_col = lambda i, b: (i, 0)
+        t, idx = pl.pallas_call(
+            functools.partial(_kernel_nearest_s, t_eps=t_eps, mode=mode),
+            grid=(Np // RAY_TILE, nb),
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, 10), ray_col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda i, b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), ray_col, memory_space=pltpu.VMEM),
+                *w_specs,
+            ],
+            out_specs=[
+                pl.BlockSpec((RAY_TILE, 1), ray_col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), ray_col, memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(g, idb[:, None, :], excl[:, None], *w_args)
 
     t = t[:N, 0]
     valid = idx[:N, 0] >= 0   # cull path caps t at scene exit; id is truth
@@ -446,12 +583,12 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
     )
     Np = g.shape[0]
 
-    col, in_specs = _common_specs(nb, tile)
-    in_specs = in_specs + [
-        pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)
-    ]
-    args = [g, Wb, idb, excl[:, None], tmax[:, None]]
     if cull:
+        col, in_specs = _common_specs(nb, tile)
+        in_specs = in_specs + [
+            pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)
+        ]
+        args = [g, Wb, idb, excl[:, None], tmax[:, None]]
         lo_t, hi_t = _tile_aabbs(lo, hi, tile)
         # Shadow segments are bounded: the tile's max t_max caps the swept
         # interval, culling tiles beyond the lights.
@@ -461,16 +598,40 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # te    [nrt, nb]
         ]
         args += [order, te]
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel_occluded, nb=nb, t_eps=t_eps, mode=mode, cull=cull
-        ),
-        grid=(Np // RAY_TILE,),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
-        interpret=interpret,
-    )(*args)[0]
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_occluded, nb=nb, t_eps=t_eps, mode=mode, cull=True
+            ),
+            grid=(Np // RAY_TILE,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((RAY_TILE, 1), col, memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+            interpret=interpret,
+        )(*args)[0]
+    else:
+        # Streamed variant — see _call_nearest.
+        w_args, w_specs = _stream_w_inputs(Wb, tile, mode)
+        ray_col = lambda i, b: (i, 0)
+        out = pl.pallas_call(
+            functools.partial(_kernel_occluded_s, t_eps=t_eps, mode=mode),
+            grid=(Np // RAY_TILE, nb),
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, 10), ray_col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda i, b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RAY_TILE, 1), ray_col, memory_space=pltpu.VMEM),
+                *w_specs,
+                pl.BlockSpec((RAY_TILE, 1), ray_col, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((RAY_TILE, 1), ray_col, memory_space=pltpu.VMEM)
+            ],
+            out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(g, idb[:, None, :], excl[:, None], *w_args, tmax[:, None])[0]
     return out[:N, 0] > 0
 
 
