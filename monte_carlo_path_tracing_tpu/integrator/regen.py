@@ -60,6 +60,10 @@ class RegenStats(NamedTuple):
 
     spilled: jnp.ndarray  # chains dropped on queue overflow
     chains: jnp.ndarray   # chains enqueued
+    # Rays physically traced (primary counted once per pixel when the
+    # primary cache served it) — set by render_regen_cached; 0 elsewhere
+    # means "same as the logical count".
+    rays_physical: jnp.ndarray = 0
 
 
 def _nee_full(scene, cfg, accel, tri_to_light, si, ls, alive):
@@ -98,6 +102,292 @@ def _nee_full(scene, cfg, accel, tri_to_light, si, ls, alive):
     return contrib, spawn, wl, w_chain
 
 
+def primary_cache_eligible(cfg: RenderConfig) -> bool:
+    """The primary-hit cache pre-pass (``render_regen_cached``) covers the
+    configurations whose depth-0 work is per-pixel-deterministic: no
+    sub-pixel jitter (the reference's default — all spp of a pixel re-trace
+    one direction, main.cpp:563-567) and no blocker-chain compat (whose
+    depth-0 NEE spawns queue work). Estimators: mis and brdf."""
+    return (
+        not cfg.pixel_jitter
+        and not cfg.mis_blocker_compat
+        and cfg.estimator in (EST_MIS, EST_BRDF)
+    )
+
+
+def _primary_dirs(cam, u_ax, v_ax, n_ax, dist, plen, gpix):
+    """Camera ray directions for global pixel ids (no jitter) — must match
+    ``render_regen``'s primary_rays bit-for-bit (same expression order)."""
+    i = (gpix // cam.width).astype(jnp.float32)
+    j = (gpix % cam.width).astype(jnp.float32)
+    dx = -plen * (i - (cam.height - 1) / 2.0)
+    dy = plen * (j - (cam.width - 1) / 2.0)
+    rd = vm.normalize(
+        dx[:, None] * u_ax[None] + dy[:, None] * v_ax[None]
+        + dist * n_ax[None]
+    )
+    ro = jnp.broadcast_to(cam.eye, rd.shape)
+    return ro, rd
+
+
+def primary_prepass(
+    scene: Scene,
+    cfg: RenderConfig,
+    base_key: jax.Array,
+    n_pix: int,
+    spp_cap: int,
+    spp_rounds,
+    pixel_offset=0,
+    pixel_stride: int = 1,
+    spp0=0,
+    pix_chunk: int = 1 << 15,
+):
+    """Per-pixel primary-hit + depth-0 shading pre-pass (VERDICT r3 item 1).
+
+    With jitter off, the reference re-traces ONE identical direction per
+    pixel for all spp (main.cpp:563-572) — ~39% of all traced rays at the
+    bench config recompute a per-pixel-constant primary hit, and the
+    depth-0 Arvo ``prepare`` field (Mylight.cpp:322-422) is likewise
+    per-pixel-constant. This pass traces each pixel's primary ray ONCE,
+    prepares the spherical-sampling CDF ONCE per pixel, then runs the
+    depth-0 estimator work (emission, RR, NEE with per-sample draws, BRDF
+    sample) densely for all ``spp_rounds`` samples, emitting:
+
+      - ``fb_pre [n_pix, 3]``: all depth-0 radiance (emission + NEE terms),
+      - ``cache_f [n_pix, 7]`` = (p, ns, wsum) and ``cache_tri [n_pix]``:
+        what a regenerated lane needs to resume at depth 1,
+      - ``seeds``: compacted continuation records (sample id, wi, tp, pdf)
+        for every sample whose path survives the primary vertex — the
+        regeneration loop (``render_regen(seed_mode=...)``) pulls these
+        instead of camera samples, so the in-loop work drops from ~2.5 to
+        ~1.5 vertices per path.
+
+    Draw streams are IDENTICAL to the uncached path by construction: every
+    depth-0 draw uses fold(fold(fold(base, spp0+round), gpix), 0) then the
+    same purpose tags, and the triangle pick replicates rng.pick_weighted
+    against the cached per-pixel CDF. (On TPU the uncached loop's fused
+    Arvo kernel may pick a neighbouring index within f32 rounding of a CDF
+    boundary — the same documented fringe as ops/arvo_pallas.py.)
+
+    ``spp_rounds`` may be a traced scalar (<= static ``spp_cap``, which
+    sizes the seed buffers) so a 0-round warmup compiles the same program.
+
+    Returns (fb_pre, cache_f, cache_tri, seeds_sample, seeds_f, seed_count,
+    nrays_logical, nrays_physical): nrays_logical counts the primary trace
+    once per SAMPLE (the estimator's equal-work ray count, comparable with
+    the uncached renderer); nrays_physical counts it once per PIXEL (what
+    the hardware actually traced).
+    """
+    spp_rounds = jnp.asarray(spp_rounds, jnp.int32)
+    accel = ops_intersect.build_accel(scene)
+    light_accel = (
+        ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
+    )
+    tri_to_light = common.light_index_table(scene)
+    spherical = cfg.light_sampler == LS_SPHERICAL
+    is_mis = cfg.estimator == EST_MIS
+    cam = scene.camera
+    u_ax, v_ax, n_ax, dist = camera_basis(cam)
+    plen = pixel_len(cam, dist)
+
+    chunk = min(pix_chunk, n_pix)
+    n_chunks = -(-n_pix // chunk)
+    total = n_pix * spp_cap
+    w_rr = 1.0 / cfg.rr_prob
+
+    fb_pre = jnp.zeros((n_chunks * chunk, 3))
+    cache_f = jnp.zeros((n_chunks * chunk, 7))
+    cache_tri = jnp.full((n_chunks * chunk,), ops_intersect.NO_HIT, jnp.int32)
+    # +1 sink row for masked scatter writes
+    seeds_sample = jnp.zeros((total + 1,), jnp.int32)
+    seeds_f = jnp.zeros((total + 1, 7))
+
+    def chunk_body(c, carry):
+        fb_pre, cache_f, cache_tri, seeds_sample, seeds_f, count, nsh = carry
+        pix_local = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+        valid_pix = pix_local < n_pix
+        gpix = pix_local * pixel_stride + pixel_offset
+        ro, rd = _primary_dirs(cam, u_ax, v_ax, n_ax, dist, plen, gpix)
+        hit = ops_intersect.intersect(
+            accel, ro, rd, jnp.full((chunk,), ops_intersect.NO_HIT, jnp.int32),
+            impl=_impl(cfg), mode=cfg.dot_mode,
+        )
+        si = common.gather_interaction(scene, hit, rd, tri_to_light)
+        hitok = valid_pix & hit.valid & si.front
+
+        # Emission at depth 0: tp = 1 and weight 1 for every estimator here
+        # (mis/brdf primary, main.cpp:416-421 / 362-366) and every sample of
+        # a pixel is identical — add spp * emission once.
+        em_rows = (hitok & si.is_light)[:, None]
+        em_add = jnp.where(
+            em_rows, si.emission * spp_rounds.astype(jnp.float32), 0.0
+        )
+        shade0 = hitok & ~si.is_light
+
+        if is_mis and spherical:
+            weights, wsum = light_spherical.prepare(scene, si.p, si.ns)
+            cdf = jnp.cumsum(weights, axis=-1)            # [chunk, L]
+            n_lights = weights.shape[-1]
+        else:
+            wsum = jnp.zeros((chunk,))
+            cdf = None
+
+        def round_body(r, rc):
+            fb_acc, seeds_sample, seeds_f, count, nsh = rc
+            sample = r * n_pix + pix_local
+            lk = rng.fold_in(rng.fold_in(base_key, spp0 + r), gpix)
+            lk0 = rng.fold_in(lk, 0)
+
+            xi_rr = rng.uniform(rng.fold_in(lk0, rng.P_RR), (chunk,))
+            survive = xi_rr < cfg.rr_prob
+
+            if is_mis:
+                # RR gates BOTH strategies (main.cpp:429-437).
+                cont0 = shade0 & survive
+                kstep = rng.fold_in(lk0, rng.P_LIGHT_SELECT)
+                if spherical:
+                    k_sel = rng.fold_in(kstep, 0)
+                    k_warp = rng.fold_in(kstep, 1)
+                    u = rng.uniform(k_sel, (chunk,))
+                    # rng.pick_weighted semantics against the cached CDF
+                    thresh = u * wsum
+                    lidx = jnp.minimum(
+                        jnp.sum((cdf <= thresh[:, None]).astype(jnp.int32), -1),
+                        n_lights - 1,
+                    )
+                    ls = light_spherical.sample_from_pick(
+                        k_warp, scene, si.p, si.ns, lidx, wsum
+                    )
+                else:
+                    ls = light_uniform.sample(kstep, scene, chunk)
+                nsh = nsh + jnp.sum(cont0.astype(jnp.float32))
+                nee = _nee_term(scene, cfg, accel, si, ls, wsum, cont0)
+                fb_acc = fb_acc + jnp.where(cont0[:, None], w_rr * nee, 0.0)
+            else:
+                cont0 = shade0 & survive
+
+            kb = rng.fold_in(lk0, rng.P_BSDF)
+            bs = phong.sample_brdf(
+                kb, si.ns, si.wo, si.kd, si.ks, si.ns_exp,
+                branch_pdf_compat=cfg.branch_pdf_compat,
+            )
+            cos_i = vm.dot(bs.wi, si.ns)
+            cont = cont0 & (cos_i > 0.0) & (bs.pdf > 1e-12)
+
+            denom = _SG(jnp.maximum(bs.pdf, 1e-12))
+            if is_mis and cfg.ref_mis_weights:
+                lh = ops_intersect.intersect(
+                    light_accel, si.p, bs.wi, si.tri_id, impl=_impl(cfg),
+                    mode=cfg.dot_mode,
+                )
+                lidx_l = jnp.where(
+                    lh.valid, tri_to_light[jnp.maximum(lh.tri_id, 0)], -1
+                )
+                if spherical:
+                    p_al = light_spherical.pdf_of_tri(
+                        scene, si.p, si.ns, lidx_l, wsum
+                    )
+                else:
+                    d2 = jnp.maximum(lh.t * lh.t, 1e-20)
+                    nl = scene.geo_n[jnp.maximum(lh.tri_id, 0)]
+                    p_al = jnp.where(
+                        lh.valid,
+                        common.area_pdf_to_solid_angle(
+                            light_uniform.pdf_area(
+                                scene, jnp.maximum(lidx_l, 0)
+                            ),
+                            d2, -vm.dot(bs.wi, nl),
+                        ),
+                        0.0,
+                    )
+                denom = _SG(jnp.maximum(bs.pdf + p_al, 1e-12))
+
+            f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
+            tp_next = f * (jnp.maximum(cos_i, 0.0) / denom * w_rr)[:, None]
+
+            rank = jnp.cumsum(cont.astype(jnp.int32)) - 1
+            slot = jnp.where(cont, count + rank, total)
+            seeds_sample = seeds_sample.at[slot].set(sample)
+            seeds_f = seeds_f.at[slot].set(
+                jnp.concatenate(
+                    [bs.wi, tp_next, _SG(bs.pdf)[:, None]], axis=1
+                )
+            )
+            count = count + jnp.sum(cont.astype(jnp.int32))
+            return fb_acc, seeds_sample, seeds_f, count, nsh
+
+        fb_acc, seeds_sample, seeds_f, count, nsh = jax.lax.fori_loop(
+            0, spp_rounds,
+            round_body,
+            (jnp.zeros((chunk, 3)), seeds_sample, seeds_f, count, nsh),
+        )
+        fb_pre = jax.lax.dynamic_update_slice(
+            fb_pre,
+            jax.lax.dynamic_slice(fb_pre, (c * chunk, 0), (chunk, 3))
+            + fb_acc + em_add,
+            (c * chunk, 0),
+        )
+        cache_f = jax.lax.dynamic_update_slice(
+            cache_f,
+            jnp.concatenate([si.p, si.ns, wsum[:, None]], axis=1),
+            (c * chunk, 0),
+        )
+        cache_tri = jax.lax.dynamic_update_slice(
+            cache_tri, hit.tri_id, (c * chunk,)
+        )
+        return fb_pre, cache_f, cache_tri, seeds_sample, seeds_f, count, nsh
+
+    fb_pre, cache_f, cache_tri, seeds_sample, seeds_f, seed_count, n_shadow = (
+        jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            (fb_pre, cache_f, cache_tri, seeds_sample, seeds_f,
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)),
+        )
+    )
+    nrays_logical = spp_rounds.astype(jnp.float32) * n_pix + n_shadow
+    nrays_physical = jnp.float32(n_pix) + n_shadow
+    return (
+        fb_pre[:n_pix], cache_f[:n_pix], cache_tri[:n_pix],
+        seeds_sample, seeds_f, seed_count, nrays_logical, nrays_physical,
+    )
+
+
+def render_regen_cached(
+    scene: Scene,
+    cfg: RenderConfig,
+    base_key: jax.Array,
+    n_pix: int,
+    spp_cap: int,
+    spp_rounds,
+    lanes: int = 1 << 16,
+    pixel_offset=0,
+    pixel_stride: int = 1,
+    spp0=0,
+):
+    """Primary-cache renderer: :func:`primary_prepass` (dense depth-0 work,
+    one primary trace + one Arvo prepare per PIXEL) + the regeneration loop
+    pulling the pre-pass's continuation seeds (depth >= 1 only). Same
+    estimate and draw streams as ``render_regen`` with
+    ``total_samples = n_pix * spp_rounds`` (tests/test_regen.py pins the
+    parity); returns the same (fb, nrays, iters, stats) tuple with nrays =
+    the LOGICAL ray count (primary counted per sample — the equal-work
+    number comparable across renderers; the physically-traced count is in
+    ``stats.rays_physical``)."""
+    spp_rounds = jnp.asarray(spp_rounds, jnp.int32)
+    (fb_pre, cache_f, cache_tri, seeds_sample, seeds_f, seed_count,
+     n_log, n_phys) = primary_prepass(
+        scene, cfg, base_key, n_pix, spp_cap, spp_rounds,
+        pixel_offset=pixel_offset, pixel_stride=pixel_stride, spp0=spp0,
+    )
+    fb, nrays_loop, iters, stats = render_regen(
+        scene, cfg, base_key, n_pix, seed_count, lanes=lanes,
+        pixel_offset=pixel_offset, pixel_stride=pixel_stride, spp0=spp0,
+        seed_mode=(seeds_sample, seeds_f, cache_f, cache_tri, fb_pre),
+    )
+    stats = stats._replace(rays_physical=n_phys + nrays_loop)
+    return fb, n_log + nrays_loop, iters, stats
+
+
 def render_regen(
     scene: Scene,
     cfg: RenderConfig,
@@ -108,6 +398,7 @@ def render_regen(
     pixel_offset=0,
     pixel_stride: int = 1,
     spp0: int = 0,
+    seed_mode=None,
 ):
     """Render `total_samples` paths distributed round-robin over `n_pix`
     local pixels; local pixel i maps to global image pixel
@@ -123,7 +414,17 @@ def render_regen(
     ``spp0`` is the global spp index of this launch's first sample round, so
     multi-launch drivers (render/renderer.py) keep globally-keyed streams:
     local sample s is spp round spp0 + s // n_pix of global pixel
-    (s % n_pix) * pixel_stride + pixel_offset."""
+    (s % n_pix) * pixel_stride + pixel_offset.
+
+    ``seed_mode`` (set by :func:`render_regen_cached`) switches the sample
+    source from camera rays to the primary pre-pass's continuation seeds:
+    a 5-tuple (seeds_sample, seeds_f, cache_f, cache_tri, fb_pre). Free
+    lanes then pull seed records (resuming at depth 1 with the cached
+    per-pixel interaction) and ``total_samples`` is the seed count."""
+    seeded = seed_mode is not None
+    if seeded:
+        seeds_sample, seeds_f, cache_f, cache_tri, fb_pre = seed_mode
+        assert not cfg.mis_blocker_compat, "seed_mode excludes blocker compat"
     accel = ops_intersect.build_accel(scene)
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
@@ -453,13 +754,35 @@ def render_regen(
         new_sample = st["counter"] + rank_new
         n_taken = jnp.sum(take.astype(jnp.int32))
 
-        # local fb index in [0, n_pix); ray generation uses the global
-        # image pixel id (local + shard offset)
-        pixel_new = (new_sample % n_pix).astype(jnp.int32)
-        ro_new, rd_new = primary_rays(
-            pixel_new * pixel_stride + pixel_offset,
-            lane_stream(new_sample, pixel_new),
-        )
+        if seeded:
+            # Pull the next continuation seeds (depth-1 resume records from
+            # the primary pre-pass); per-pixel interaction from the cache.
+            sidx = jnp.clip(new_sample, 0, seeds_sample.shape[0] - 1)
+            s_val = seeds_sample[sidx]
+            pixel_new = (s_val % n_pix).astype(jnp.int32)
+            crec = cache_f[pixel_new]                 # (p, ns, wsum)
+            sf = seeds_f[sidx]                        # (wi, tp, pdf)
+            ro_new, ns_new = crec[:, 0:3], crec[:, 3:6]
+            wsum_new = crec[:, 6]
+            rd_new, tp_new = sf[:, 0:3], sf[:, 3:6]
+            pb_new = sf[:, 6]
+            excl_new = cache_tri[pixel_new]
+            sample_new = s_val
+            depth_new = jnp.ones((C,), jnp.int32)
+        else:
+            # local fb index in [0, n_pix); ray generation uses the global
+            # image pixel id (local + shard offset)
+            pixel_new = (new_sample % n_pix).astype(jnp.int32)
+            ro_new, rd_new = primary_rays(
+                pixel_new * pixel_stride + pixel_offset,
+                lane_stream(new_sample, pixel_new),
+            )
+            ns_new, wsum_new = rd_new, jnp.zeros((C,))
+            tp_new = jnp.ones((C, 3))
+            pb_new = jnp.ones((C,))
+            excl_new = jnp.full((C,), ops_intersect.NO_HIT, jnp.int32)
+            sample_new = new_sample
+            depth_new = jnp.zeros((C,), jnp.int32)
 
         def sel(a, b, c):
             """take -> a (new sample), take_chain -> b (queued chain),
@@ -477,23 +800,23 @@ def render_regen(
         out.update({
             "alive": cont | take | take_chain,
             "pixel": sel(pixel_new, bq("pixel"), st["pixel"]),
-            "sample": sel(new_sample, bq("sample"), st["sample"]),
-            "depth": sel(jnp.zeros((C,), jnp.int32), bq("depth"), depth + 1),
+            "sample": sel(sample_new, bq("sample"), st["sample"]),
+            "depth": sel(depth_new, bq("depth"), depth + 1),
             "ro": sel(ro_new, bq("ro"), si.p),
             "rd": sel(rd_new, bq("rd"), bs.wi),
-            "excl": sel(
-                jnp.full((C,), ops_intersect.NO_HIT, jnp.int32),
-                bq("excl"), hit.tri_id,
-            ),
-            "tp": sel(jnp.ones((C, 3)), bq("tp"), tp),
+            "excl": sel(excl_new, bq("excl"), hit.tri_id),
+            "tp": sel(tp_new, bq("tp"), tp),
             "L": jnp.where((take | take_chain)[:, None], 0.0, L),
             # prev_* feed the balance-heuristic emission weight, which
             # blocker mode never uses (it implies ref_mis_weights) — chains
-            # may inherit stale values harmlessly.
-            "prev_pb": jnp.where(take, 1.0, _SG(bs.pdf)),
+            # may inherit stale values harmlessly. Seeded pulls resume at
+            # depth 1, so their prev_* are the REAL depth-0 vertex values
+            # (from the pre-pass cache); fresh depth-0 pulls never read
+            # theirs (w_emit is 1 on primary hits).
+            "prev_pb": jnp.where(take, pb_new, _SG(bs.pdf)),
             "prev_p": jnp.where(take[:, None], ro_new, si.p),
-            "prev_ns": jnp.where(take[:, None], rd_new, si.ns),
-            "prev_w": jnp.where(take, 0.0, wsum),
+            "prev_ns": jnp.where(take[:, None], ns_new, si.ns),
+            "prev_w": jnp.where(take, wsum_new, wsum),
             "counter": st["counter"] + n_taken,
             "fb": fb,
             "nrays": nrays,
@@ -517,7 +840,10 @@ def render_regen(
         "prev_ns": jnp.concatenate([jnp.zeros((C, 2)), jnp.ones((C, 1))], axis=1),
         "prev_w": jnp.zeros((C,)),
         "counter": jnp.zeros((), jnp.int32),
-        "fb": jnp.zeros((n_pix + C, 3)),
+        "fb": (
+            jnp.concatenate([fb_pre, jnp.zeros((C, 3))], axis=0)
+            if seeded else jnp.zeros((n_pix + C, 3))
+        ),
         "nrays": jnp.zeros((), jnp.float32),
         "iter": jnp.zeros((), jnp.int32),
     }

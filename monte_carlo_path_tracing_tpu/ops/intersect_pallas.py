@@ -270,34 +270,22 @@ def _accept_epilogue(det, u_num, v_num, t_num, ids, excl, t_eps):
 
 def _tile_accepts_s(g, wblk, ids, excl, t_eps, mode):
     """Streamed-variant accept computation: ``wblk`` is THIS tile's
-    coefficient block delivered by the grid ([4,10,TT] f32, or a
-    ([4,10,TT],[4,10,TT]) bf16 hi/lo pair for mxu_fast whose split was
-    done ONCE outside the kernel)."""
-    if mode == "mxu_fast":
-        wh, wl = wblk
-        g_hi, g_lo = _split_bf16(g)
-        d = jax.lax.Precision.DEFAULT
-        dd = lambda i: _mxu(g_hi, wh[i], d) + (
-            _mxu(g_hi, wl[i], d) + _mxu(g_lo, wh[i], d))
-    else:
-        dd = lambda i: _dot(g, wblk[i], mode)
+    coefficient block delivered by the grid as [4,10,TT] f32; mxu_fast's
+    bf16 hi/lo split happens INSIDE the kernel via _dot."""
+    dd = lambda i: _dot(g, wblk[i], mode)
     return _accept_epilogue(
         dd(0), dd(1), dd(2), dd(3), ids, excl, t_eps)
 
 
 def _unpack_stream_refs(refs, mode, n_out):
-    """(g, ids, excl, w...[, extra...], outs...) -> pieces. mxu_fast
-    carries two w refs (hi/lo), other modes one."""
-    nw = 2 if mode == "mxu_fast" else 1
+    """(g, ids, excl, w[, extra...], outs...) -> pieces. All modes ship ONE
+    f32 w block; mxu_fast splits to bf16 inside the kernel (see
+    _stream_w_inputs for why pre-splitting is forbidden)."""
     g_ref, ids_ref, excl_ref = refs[:3]   # ids block: [1, 1, tile]
-    w_refs = refs[3:3 + nw]
-    extra = refs[3 + nw:len(refs) - n_out]
+    w_ref = refs[3]
+    extra = refs[4:len(refs) - n_out]
     outs = refs[len(refs) - n_out:]
-    if mode == "mxu_fast":
-        wblk = (w_refs[0][0], w_refs[1][0])
-    else:
-        wblk = w_refs[0][0]
-    return g_ref, ids_ref, excl_ref, wblk, extra, outs
+    return g_ref, ids_ref, excl_ref, w_ref[0], extra, outs
 
 
 def _kernel_nearest_s(*refs, t_eps: float, mode: str):
@@ -350,16 +338,22 @@ def _kernel_occluded_s(*refs, t_eps: float, mode: str):
 
 
 def _stream_w_inputs(Wb, tile, mode):
-    """(w_args, w_specs) for the streamed calls; mxu_fast ships the bf16
-    hi/lo split computed once (same elementwise values as the in-kernel
-    split of the resident path)."""
+    """(w_args, w_specs) for the streamed calls. ALL modes ship the f32
+    coefficient block; mxu_fast re-splits to bf16 hi/lo in-kernel.
+
+    Do NOT pre-split W to bf16 host-side and ship hi/lo blocks: on this
+    Mosaic version a [1,4,10,tile] bf16 grid-sliced block silently loses
+    the lo operand's contribution (measured round 4: the kernel behaved as
+    1-pass bf16, ~0.3% relative coefficient error — enough to flip nearest
+    -hit ordering between surfaces 0.1% apart in t, e.g. an emitter lying
+    just above its ceiling; cornell's lights vanished from primary hits).
+    The in-kernel split is bit-correct (validated against the f64 oracle on
+    the same rays) and costs only an elementwise convert per tile visit;
+    HBM traffic is identical (4 B either way)."""
     spec = pl.BlockSpec(
         (1, 4, 10, tile), lambda i, b: (b, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    if mode == "mxu_fast":
-        wh, wl = _split_bf16(Wb)
-        return [wh, wl], [spec, spec]
     return [Wb], [spec]
 
 

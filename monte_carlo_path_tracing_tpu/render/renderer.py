@@ -70,7 +70,9 @@ def render_image_regen(
     reference flushes its framebuffer per scanline, main.cpp:587; the CLI's
     --preview writes a PNG here).
     """
-    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+    from monte_carlo_path_tracing_tpu.integrator.regen import (
+        primary_cache_eligible, render_regen, render_regen_cached,
+    )
 
     cfg.validate()
     cam = scene.camera
@@ -82,16 +84,33 @@ def render_image_regen(
     # balanced within every launch.
     spp_per_launch = max(1, min(cfg.spp, max_samples_per_launch // n_pix))
 
-    fn = jax.jit(
-        lambda sc, k, tot, s0: render_regen(
-            sc, cfg, k, n_pix, tot, lanes=lanes, spp0=s0
-        )
+    use_cache = (
+        cfg.primary_cache if cfg.primary_cache is not None
+        else primary_cache_eligible(cfg)
     )
+    if use_cache:
+        # Primary-hit cache: one primary trace + Arvo prepare per PIXEL per
+        # launch, depth-0 shading dense, regen loop over the continuation
+        # seeds only (same streams/estimate; integrator/regen.py).
+        fn = jax.jit(
+            lambda sc, k, rounds, s0: render_regen_cached(
+                sc, cfg, k, n_pix, spp_per_launch, rounds, lanes=lanes,
+                spp0=s0,
+            )
+        )
+        warm_args = (jnp.int32(0), jnp.int32(0))        # 0 spp rounds
+        launch_arg = lambda step, done: (jnp.int32(step), jnp.int32(done))
+    else:
+        fn = jax.jit(
+            lambda sc, k, tot, s0: render_regen(
+                sc, cfg, k, n_pix, tot, lanes=lanes, spp0=s0
+            )
+        )
+        warm_args = (jnp.int32(min(lanes, total)), jnp.int32(0))
+        launch_arg = lambda step, done: (jnp.int32(n_pix * step), jnp.int32(done))
     # warmup excluded from `seconds` (the traced sample count means the
     # tiny run compiles the same program as the real one)
-    jax.block_until_ready(
-        fn(scene, key, jnp.int32(min(lanes, total)), jnp.int32(0))
-    )
+    jax.block_until_ready(fn(scene, key, *warm_args))
 
     t0 = time.perf_counter()
     fb_acc = np.zeros((n_pix, 3), np.float32)
@@ -100,7 +119,7 @@ def render_image_regen(
     done = 0
     while done < cfg.spp:
         step = min(spp_per_launch, cfg.spp - done)
-        fb, nrays, _, stats = fn(scene, key, jnp.int32(n_pix * step), jnp.int32(done))
+        fb, nrays, _, stats = fn(scene, key, *launch_arg(step, done))
         spilled += int(stats.spilled)
         fb_acc += np.asarray(fb)
         rays += float(nrays)

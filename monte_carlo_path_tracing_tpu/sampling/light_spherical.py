@@ -278,6 +278,23 @@ def sample(
         # Inverse-CDF pick (one uniform per lane; all-zero rows are flagged
         # invalid via ``has`` below, whatever index they land on).
         lidx = rng.pick_weighted(k_sel, weights, x1.shape[0], weights_sum)
+    return sample_from_pick(k_warp, scene, x1, n, lidx, weights_sum), weights_sum
+
+
+def sample_from_pick(
+    k_warp: jax.Array,
+    scene: Scene,
+    x1: jnp.ndarray,
+    n: jnp.ndarray,
+    lidx: jnp.ndarray,
+    weights_sum: jnp.ndarray,
+) -> LightSample:
+    """Post-pick stage of :func:`sample`: Arvo-warp a direction inside the
+    already-selected spherical triangle ``lidx`` and land the point on the
+    flat triangle (Mylight.cpp:449-481). Split out so callers that already
+    hold a pick — e.g. the primary-hit cache pre-pass, which reuses one
+    per-pixel prepared CDF across all spp (integrator/regen.py) — share the
+    exact code (and draws) of the one-shot path."""
     has = weights_sum > EPS
 
     rec = light_table(scene)[lidx]                       # [N,16] single gather
@@ -303,17 +320,14 @@ def sample(
         jnp.where(has[:, None], x1 + P * t[:, None], x1 - n)
     )
 
-    return (
-        LightSample(
-            coord=coord,
-            light_idx=lidx,
-            tri_id=scene.light_tri_ids[lidx],
-            emission=jnp.where(has[:, None], em, 0.0),
-            pdf=pdf,
-            valid=has,
-            nl=nl,
-        ),
-        weights_sum,
+    return LightSample(
+        coord=coord,
+        light_idx=lidx,
+        tri_id=scene.light_tri_ids[lidx],
+        emission=jnp.where(has[:, None], em, 0.0),
+        pdf=pdf,
+        valid=has,
+        nl=nl,
     )
 
 

@@ -96,6 +96,17 @@ class RenderConfig:
     # Sort every k-th regen iteration (coherence decays slowly as lanes die
     # and regenerate; k>1 amortizes the sort). 1 = every iteration.
     ray_sort_every: int = 1
+    # Primary-hit cache (regen renderer): with jitter off every spp of a
+    # pixel re-traces one identical primary ray (the reference's behaviour,
+    # main.cpp:563-572) and the depth-0 Arvo prepare field is per-pixel
+    # constant. The cache pre-pass traces each pixel's primary ray ONCE,
+    # prepares the spherical CDF ONCE per pixel, runs all depth-0 shading
+    # densely, and feeds only the surviving continuations to the regen
+    # loop (integrator/regen.py::render_regen_cached). Same estimate and
+    # draw streams as the uncached path. None = auto (on when eligible:
+    # estimator mis/brdf, no jitter, no blocker compat); True forces it
+    # (validate() raises if ineligible); False forces the uncached loop.
+    primary_cache: Optional[bool] = None
     # Regen renderer: fuse the Arvo [N, L] projection + triangle pick into
     # one Pallas kernel (ops/arvo_pallas.py) — the [N, L] field never
     # touches HBM. None = auto (on for TPU, off elsewhere so CPU tests pin
@@ -137,3 +148,14 @@ class RenderConfig:
             )
         if self.ray_sort_every < 1:
             raise ValueError("ray_sort_every must be >= 1")
+        if self.primary_cache:
+            from monte_carlo_path_tracing_tpu.integrator.regen import (
+                primary_cache_eligible,
+            )
+
+            if not primary_cache_eligible(self):
+                raise ValueError(
+                    "primary_cache=True requires estimator in ('mis','brdf'), "
+                    "pixel_jitter=False and mis_blocker_compat=False (the "
+                    "depth-0 work must be per-pixel deterministic)"
+                )
