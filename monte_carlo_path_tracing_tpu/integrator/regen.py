@@ -190,10 +190,14 @@ def primary_prepass(
     u_ax, v_ax, n_ax, dist = camera_basis(cam)
     plen = pixel_len(cam, dist)
 
-    chunk = min(pix_chunk, n_pix)
+    # Flattened per-chunk batch is chunk * spp_cap samples; clamp so it
+    # stays ~256k rows whatever the launch's spp is.
+    chunk = min(pix_chunk, n_pix, max(4096, (1 << 18) // max(spp_cap, 1)))
     n_chunks = -(-n_pix // chunk)
     total = n_pix * spp_cap
     w_rr = 1.0 / cfg.rr_prob
+    R = spp_cap
+    S = R * chunk
 
     fb_pre = jnp.zeros((n_chunks * chunk, 3))
     cache_f = jnp.zeros((n_chunks * chunk, 7))
@@ -208,9 +212,11 @@ def primary_prepass(
         valid_pix = pix_local < n_pix
         gpix = pix_local * pixel_stride + pixel_offset
         ro, rd = _primary_dirs(cam, u_ax, v_ax, n_ax, dist, plen, gpix)
+        # Camera fans are naturally coherent: the tri-tile culling bites
+        # without any lane sort (cull=True).
         hit = ops_intersect.intersect(
             accel, ro, rd, jnp.full((chunk,), ops_intersect.NO_HIT, jnp.int32),
-            impl=_impl(cfg), mode=cfg.dot_mode,
+            impl=_impl(cfg), mode=cfg.dot_mode, cull=True,
         )
         si = common.gather_interaction(scene, hit, rd, tri_to_light)
         hitok = valid_pix & hit.valid & si.front
@@ -232,52 +238,89 @@ def primary_prepass(
             wsum = jnp.zeros((chunk,))
             cdf = None
 
-        def round_body(r, rc):
-            fb_acc, seeds_sample, seeds_f, count, nsh = rc
-            sample = r * n_pix + pix_local
-            lk = rng.fold_in(rng.fold_in(base_key, spp0 + r), gpix)
-            lk0 = rng.fold_in(lk, 0)
+        # ---- all spp rounds of this chunk flattened into ONE [S] batch ----
+        # Flatten order is row-major (round, pixel); rounds beyond the
+        # traced spp_rounds are masked dead. Samples that fail the RR /
+        # hit / emitter gates do NO further work: a stable argsort packs
+        # the survivors to the front and every per-sample stage (Arvo
+        # select + warp, shadow trace, BRDF sample/eval, seed write) runs
+        # on a fixed survivor-sized prefix (the regen loop keeps lanes
+        # dense the same way; here compaction is the dense-batch analogue).
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (R, chunk), 0)
+        r_live = (r_ids < spp_rounds).reshape(S)
+        sample_all = (r_ids * n_pix + pix_local[None, :]).reshape(S)
+        k_r = rng.fold_in(base_key, spp0 + jnp.arange(R, dtype=jnp.int32))
+        lk = jax.vmap(lambda k: rng.fold_in(k, gpix))(k_r).reshape(S)
+        lk0 = rng.fold_in(lk, 0)
 
-            xi_rr = rng.uniform(rng.fold_in(lk0, rng.P_RR), (chunk,))
-            survive = xi_rr < cfg.rr_prob
+        xi_rr = rng.uniform(rng.fold_in(lk0, rng.P_RR), (S,))
+        survive = xi_rr < cfg.rr_prob
+        # mis: RR gates BOTH strategies (main.cpp:429-437); brdf: gates the
+        # continuation (the only depth-0 work besides emission).
+        cont0 = jnp.broadcast_to(shade0[None], (R, chunk)).reshape(S) \
+            & r_live & survive
+
+        # Stable partition: survivors first, original order preserved — so
+        # seed order is identical to the uncompacted formulation. (A
+        # cumsum+scatter counting sort was measured at parity with argsort
+        # here — the scatter's irregular writes cost what the sort saves.)
+        order = jnp.argsort(~cont0, stable=True)
+        n_live = jnp.sum(cont0.astype(jnp.int32))
+        # Survivor count is ~rr_prob * hit_fraction * S; the prefix covers
+        # rr_prob + 2.5% which a Binomial(S, rr_prob) essentially never
+        # exceeds — the cond'd tail pass below keeps exactness anyway.
+        P = min(S, -(-int(S * min(1.0, cfg.rr_prob + 0.025)) // 256) * 256)
+
+        def stage(rows, fb_acc, seeds_sample, seeds_f, count, nsh):
+            """Depth-0 shading for the samples at flat indices ``rows``
+            ([K]): NEE contribution scatter-added into fb_acc and
+            continuation seeds appended. Per-pixel state is gathered from
+            the [chunk]-sized cache, per-sample draws from each sample's
+            own stream key — values are identical to the unpacked form."""
+            live = cont0[rows]
+            pix = rows % chunk                           # flat = r*chunk + pix
+            lk0_c = lk0[rows]
+            si_c = jax.tree_util.tree_map(lambda a: a[pix], si)
+            wsum_c = wsum[pix]
 
             if is_mis:
-                # RR gates BOTH strategies (main.cpp:429-437).
-                cont0 = shade0 & survive
-                kstep = rng.fold_in(lk0, rng.P_LIGHT_SELECT)
+                kstep = rng.fold_in(lk0_c, rng.P_LIGHT_SELECT)
                 if spherical:
-                    k_sel = rng.fold_in(kstep, 0)
-                    k_warp = rng.fold_in(kstep, 1)
-                    u = rng.uniform(k_sel, (chunk,))
+                    u = rng.uniform(rng.fold_in(kstep, 0), (rows.shape[0],))
                     # rng.pick_weighted semantics against the cached CDF
-                    thresh = u * wsum
+                    thresh = u * wsum_c
                     lidx = jnp.minimum(
-                        jnp.sum((cdf <= thresh[:, None]).astype(jnp.int32), -1),
+                        jnp.sum(
+                            (cdf[pix] <= thresh[:, None]).astype(jnp.int32), -1
+                        ),
                         n_lights - 1,
                     )
                     ls = light_spherical.sample_from_pick(
-                        k_warp, scene, si.p, si.ns, lidx, wsum
+                        rng.fold_in(kstep, 1), scene, si_c.p, si_c.ns,
+                        lidx, wsum_c,
                     )
                 else:
-                    ls = light_uniform.sample(kstep, scene, chunk)
-                nsh = nsh + jnp.sum(cont0.astype(jnp.float32))
-                nee = _nee_term(scene, cfg, accel, si, ls, wsum, cont0)
-                fb_acc = fb_acc + jnp.where(cont0[:, None], w_rr * nee, 0.0)
-            else:
-                cont0 = shade0 & survive
+                    ls = light_uniform.sample(kstep, scene, rows.shape[0])
+                nsh = nsh + jnp.sum(live.astype(jnp.float32))
+                nee = _nee_term(
+                    scene, cfg, accel, si_c, ls, wsum_c, live, cull=True
+                )
+                fb_acc = fb_acc.at[pix].add(
+                    jnp.where(live[:, None], w_rr * nee, 0.0)
+                )
 
-            kb = rng.fold_in(lk0, rng.P_BSDF)
+            kb = rng.fold_in(lk0_c, rng.P_BSDF)
             bs = phong.sample_brdf(
-                kb, si.ns, si.wo, si.kd, si.ks, si.ns_exp,
+                kb, si_c.ns, si_c.wo, si_c.kd, si_c.ks, si_c.ns_exp,
                 branch_pdf_compat=cfg.branch_pdf_compat,
             )
-            cos_i = vm.dot(bs.wi, si.ns)
-            cont = cont0 & (cos_i > 0.0) & (bs.pdf > 1e-12)
+            cos_i = vm.dot(bs.wi, si_c.ns)
+            cont = live & (cos_i > 0.0) & (bs.pdf > 1e-12)
 
             denom = _SG(jnp.maximum(bs.pdf, 1e-12))
             if is_mis and cfg.ref_mis_weights:
                 lh = ops_intersect.intersect(
-                    light_accel, si.p, bs.wi, si.tri_id, impl=_impl(cfg),
+                    light_accel, si_c.p, bs.wi, si_c.tri_id, impl=_impl(cfg),
                     mode=cfg.dot_mode,
                 )
                 lidx_l = jnp.where(
@@ -285,7 +328,7 @@ def primary_prepass(
                 )
                 if spherical:
                     p_al = light_spherical.pdf_of_tri(
-                        scene, si.p, si.ns, lidx_l, wsum
+                        scene, si_c.p, si_c.ns, lidx_l, wsum_c
                     )
                 else:
                     d2 = jnp.maximum(lh.t * lh.t, 1e-20)
@@ -302,25 +345,33 @@ def primary_prepass(
                     )
                 denom = _SG(jnp.maximum(bs.pdf + p_al, 1e-12))
 
-            f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
+            f = phong.eval_brdf(
+                si_c.ns, bs.wi, si_c.wo, si_c.kd, si_c.ks, si_c.ns_exp
+            )
             tp_next = f * (jnp.maximum(cos_i, 0.0) / denom * w_rr)[:, None]
 
             rank = jnp.cumsum(cont.astype(jnp.int32)) - 1
             slot = jnp.where(cont, count + rank, total)
-            seeds_sample = seeds_sample.at[slot].set(sample)
+            seeds_sample = seeds_sample.at[slot].set(sample_all[rows])
             seeds_f = seeds_f.at[slot].set(
-                jnp.concatenate(
-                    [bs.wi, tp_next, _SG(bs.pdf)[:, None]], axis=1
-                )
+                jnp.concatenate([bs.wi, tp_next, _SG(bs.pdf)[:, None]], axis=1)
             )
             count = count + jnp.sum(cont.astype(jnp.int32))
             return fb_acc, seeds_sample, seeds_f, count, nsh
 
-        fb_acc, seeds_sample, seeds_f, count, nsh = jax.lax.fori_loop(
-            0, spp_rounds,
-            round_body,
-            (jnp.zeros((chunk, 3)), seeds_sample, seeds_f, count, nsh),
+        fb_acc = jnp.zeros((chunk, 3))
+        fb_acc, seeds_sample, seeds_f, count, nsh = stage(
+            order[:P], fb_acc, seeds_sample, seeds_f, count, nsh
         )
+        if P < S:
+            # Overflow tail (survivors beyond the prefix): statistically
+            # never taken; compiled but only executed when needed.
+            fb_acc, seeds_sample, seeds_f, count, nsh = jax.lax.cond(
+                n_live > P,
+                lambda ops: stage(order[P:], *ops),
+                lambda ops: ops,
+                (fb_acc, seeds_sample, seeds_f, count, nsh),
+            )
         fb_pre = jax.lax.dynamic_update_slice(
             fb_pre,
             jax.lax.dynamic_slice(fb_pre, (c * chunk, 0), (chunk, 3))

@@ -303,9 +303,11 @@ def _light_pdf_of_hit(scene, cfg, si, prev_p, prev_ns, prev_wsum):
     return jnp.where(si.light_idx >= 0, pdf, 0.0)
 
 
-def _nee_term(scene, cfg, accel, si, ls, wsum, alive):
+def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None):
     """MIS light strategy as NEE (main.cpp:443-464 restructured per Q11):
-    contribution = I * f * cos / (p_light + p_brdf), both solid-angle."""
+    contribution = I * f * cos / (p_light + p_brdf), both solid-angle.
+    ``cull`` forwards to the occlusion kernel (the primary pre-pass passes
+    True — its shadow batches are pixel-ordered, hence coherent)."""
     wl_raw = ls.coord - si.p
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
     dist = jnp.sqrt(dist2)
@@ -316,7 +318,8 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive):
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
     blocked = ops_intersect.occluded(
-        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode
+        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode,
+        cull=cull,
     )
     visible = ok & ~blocked
 

@@ -128,12 +128,17 @@ def intersect(
     impl: str = "auto",
     t_eps: float = T_EPS,
     mode: str | None = None,
+    cull: bool | None = None,
 ) -> Hit:
     """Nearest hit of N rays against the accel's triangle set.
 
     Self-intersection avoidance is by triangle-id exclusion (quirk Q8,
     Myobj.cpp:417), not ray offsetting. `mode` picks the pallas dot mode
-    (intersect_pallas.DOT_MODE); ignored by the other impls.
+    (intersect_pallas.DOT_MODE); ignored by the other impls. ``cull``
+    overrides the module default CULL_NEAREST per call — pass True for
+    NATURALLY coherent batches (camera-ray fans, per-pixel shadow batches
+    in the primary pre-pass) where the tri-tile culling bites without a
+    lane sort.
     """
     from monte_carlo_path_tracing_tpu.ops import grid as grid_mod
 
@@ -142,13 +147,15 @@ def intersect(
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         impl = "pallas" if on_tpu else "matmul"
+    if cull is None:
+        cull = CULL_NEAREST
     if impl == "pallas":
         from monte_carlo_path_tracing_tpu.ops import intersect_pallas
 
         return intersect_pallas.intersect_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps, mode=mode,
-            aabb_lo=accel.aabb_lo if CULL_NEAREST else None,
-            aabb_hi=accel.aabb_hi if CULL_NEAREST else None,
+            aabb_lo=accel.aabb_lo if cull else None,
+            aabb_hi=accel.aabb_hi if cull else None,
         )
     if impl == "matmul":
         return intersect_ref.intersect_matmul(
@@ -171,6 +178,7 @@ def occluded(
     impl: str = "auto",
     t_eps: float = T_EPS,
     mode: str | None = None,
+    cull: bool | None = None,
 ) -> jnp.ndarray:
     """[N] bool: something blocks the segment ro -> ro + t_max*rd.
 
@@ -187,6 +195,8 @@ def occluded(
         return hit.valid & (hit.t < t_max * (1.0 - OCCLUSION_MARGIN))
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
+    if cull is None:
+        cull = CULL_OCCLUDED
     scaled = t_max * (1.0 - OCCLUSION_MARGIN)
     if impl == "pallas":
         from monte_carlo_path_tracing_tpu.ops import intersect_pallas
@@ -196,8 +206,8 @@ def occluded(
         return intersect_pallas.occluded_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps,
             mode=mode,
-            aabb_lo=accel.aabb_lo if CULL_OCCLUDED else None,
-            aabb_hi=accel.aabb_hi if CULL_OCCLUDED else None,
+            aabb_lo=accel.aabb_lo if cull else None,
+            aabb_hi=accel.aabb_hi if cull else None,
         )
     hit = intersect_ref.intersect_matmul(
         ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps

@@ -53,10 +53,18 @@ RAY_TILE = 512
 TRI_TILE = 1792
 
 
-def _tri_tile(T: int, mode: str = "vpu") -> int:
+def _tri_tile(T: int, mode: str = "vpu", cull: bool = False) -> int:
     # bf16x3 (mxu_fast) holds 3x split operands in VMEM: tile 1792 blows the
     # 16 MB scoped-vmem budget at RAY_TILE=512 (measured: 26 MB), 896 fits.
     cap = min(TRI_TILE, 896) if mode == "mxu_fast" else TRI_TILE
+    if cull:
+        # Ordered-traversal culling wants FINE tiles (more skippable units —
+        # round-3 kernel sweep: occluded 5.5 -> 2.0 ms at tile 128 on
+        # coherent rays) and the resident form's whole-W VMEM residency
+        # OOMs scoped vmem at 896 with the in-kernel bf16 split. 256 fits
+        # and keeps the per-tile early-exit useful.
+        cap = min(cap, 256)
+        return min(cap, ((T + 255) // 256) * 256)
     return min(cap, ((T + 511) // 512) * 512)
 
 #: Dot modes for the [RT,10]@[10,TT] coefficient contraction:
@@ -472,7 +480,7 @@ def _call_nearest(ro, rd, W, tri_ids, exclude_id, t_eps: float, interpret: bool,
                   mode: str, lo=None, hi=None):
     N = ro.shape[0]
     g = ray_features(ro, rd)
-    tile = _tri_tile(W.shape[0], mode)
+    tile = _tri_tile(W.shape[0], mode, cull=lo is not None)
     Wb, idb, Wflat = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
     cull = lo is not None and nb > 1
@@ -568,7 +576,7 @@ def _call_occluded(ro, rd, W, tri_ids, exclude_id, t_max, t_eps: float,
                    interpret: bool, mode: str, lo=None, hi=None):
     N = ro.shape[0]
     g = ray_features(ro, rd)
-    tile = _tri_tile(W.shape[0], mode)
+    tile = _tri_tile(W.shape[0], mode, cull=lo is not None)
     Wb, idb, _ = _pack_blocks(W, tri_ids, tile)
     nb = Wb.shape[0]
     cull = lo is not None and nb > 1
