@@ -60,14 +60,22 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--impl", default=None, choices=[None, "pallas", "matmul"],
                    help="intersection implementation (default auto)")
-    p.add_argument("--accel", default="all_pairs",
-                   choices=["all_pairs", "grid"],
-                   help="acceleration structure (grid = reference's uniform "
-                        "grid + 3D-DDA, C10/C12)")
+    p.add_argument("--accel", default="auto",
+                   choices=["auto", "all_pairs", "grid"],
+                   help="acceleration structure (auto = all-pairs with "
+                        "sort+cull dispatched by triangle count from the "
+                        "measured crossover, docs/tpu_scale_crossover.json; "
+                        "grid = reference's uniform grid + 3D-DDA, C10/C12)")
     p.add_argument("--dot-mode", default=None,
                    choices=[None, "vpu", "mxu", "mxu_fast"],
                    help="pallas kernel dot mode (default: mxu_fast on TPU, "
                         "exact vpu elsewhere)")
+    p.add_argument("--primary-cache", default=None, action="store_true",
+                   help="cache per-pixel primary hits + depth-0 Arvo "
+                        "prepare across spp (default auto: on when "
+                        "eligible — no jitter, mis/brdf, no blocker)")
+    p.add_argument("--no-primary-cache", dest="primary_cache",
+                   action="store_false")
     p.add_argument("--ray-sort", action="store_true",
                    help="regen lane coherence sort (pure permutation; "
                         "opt-in — a measured net loss at the bundled "
@@ -119,6 +127,7 @@ def _make_cfg(args, cam):
         dot_mode=args.dot_mode,
         accel=args.accel,
         ray_sort=getattr(args, "ray_sort", False),
+        primary_cache=getattr(args, "primary_cache", None),
         fused_arvo=getattr(args, "fused_arvo", None),
     )
 

@@ -107,7 +107,11 @@ def pick_weighted(
     CDF plateau boundaries, where the draw lands on the next positive
     entry); all-zero rows return the last index — callers flag those rows
     invalid via their own weights_sum guard. ``weights_sum`` (per-row total)
-    avoids recomputing the reduction when the caller already has it."""
+    avoids recomputing the reduction when the caller already has it; when a
+    caller's tree-reduced total exceeds cumsum[-1] by rounding, a u near 1
+    clamps to the last column (possibly a zero-weight entry) — a documented
+    ~1e-7-per-draw fringe, accepted to keep the caller-supplied total (and
+    the fused kernel's identical convention) bit-compatible."""
     u = uniform(key, (n_rows,))
     if weights.ndim == 1:
         cdf = jnp.cumsum(weights)                            # [L]

@@ -190,6 +190,9 @@ def primary_prepass(
     u_ax, v_ax, n_ax, dist = camera_basis(cam)
     plen = pixel_len(cam, dist)
 
+    # Coherent-batch culling: on whenever the resident culled kernel fits.
+    cull_co = scene.num_tris <= ops_intersect.AUTO_CULL_MAX_TRIS
+
     # Flattened per-chunk batch is chunk * spp_cap samples; clamp so it
     # stays ~256k rows whatever the launch's spp is.
     chunk = min(pix_chunk, n_pix, max(4096, (1 << 18) // max(spp_cap, 1)))
@@ -213,10 +216,11 @@ def primary_prepass(
         gpix = pix_local * pixel_stride + pixel_offset
         ro, rd = _primary_dirs(cam, u_ax, v_ax, n_ax, dist, plen, gpix)
         # Camera fans are naturally coherent: the tri-tile culling bites
-        # without any lane sort (cull=True).
+        # without any lane sort — when the resident culled kernel fits
+        # (whole W in VMEM; ops/intersect.py::AUTO_CULL_MAX_TRIS).
         hit = ops_intersect.intersect(
             accel, ro, rd, jnp.full((chunk,), ops_intersect.NO_HIT, jnp.int32),
-            impl=_impl(cfg), mode=cfg.dot_mode, cull=True,
+            impl=_impl(cfg), mode=cfg.dot_mode, cull=cull_co,
         )
         si = common.gather_interaction(scene, hit, rd, tri_to_light)
         hitok = valid_pix & hit.valid & si.front
@@ -303,7 +307,7 @@ def primary_prepass(
                     ls = light_uniform.sample(kstep, scene, rows.shape[0])
                 nsh = nsh + jnp.sum(live.astype(jnp.float32))
                 nee = _nee_term(
-                    scene, cfg, accel, si_c, ls, wsum_c, live, cull=True
+                    scene, cfg, accel, si_c, ls, wsum_c, live, cull=cull_co
                 )
                 fb_acc = fb_acc.at[pix].add(
                     jnp.where(live[:, None], w_rr * nee, 0.0)
@@ -476,6 +480,15 @@ def render_regen(
     if seeded:
         seeds_sample, seeds_f, cache_f, cache_tri, fb_pre = seed_mode
         assert not cfg.mis_blocker_compat, "seed_mode excludes blocker compat"
+    # accel="auto": dispatch on triangle count from the measured crossover
+    # (ops/intersect.py::auto_policy) — in-loop cull + lane sort only in
+    # the window where they win.
+    if cfg.accel == "auto":
+        _pol = ops_intersect.auto_policy(scene.num_tris)
+        loop_cull = True if _pol["cull"] else None
+        auto_sort = _pol["ray_sort"]
+    else:
+        loop_cull, auto_sort = None, False
     accel = ops_intersect.build_accel(scene)
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None
@@ -600,7 +613,7 @@ def render_regen(
             out[k] = st[k][order]
         return out
 
-    do_sort = cfg.ray_sort and scene_lo is not None
+    do_sort = (cfg.ray_sort or auto_sort) and scene_lo is not None
     sort_every = max(int(cfg.ray_sort_every), 1)
 
     def cond(st):
@@ -630,7 +643,7 @@ def render_regen(
         #      / _run_split / _run_brdf depending on cfg.estimator) ----
         hit = ops_intersect.intersect(
             accel, st["ro"], st["rd"], st["excl"], impl=_impl(cfg),
-            mode=cfg.dot_mode,
+            mode=cfg.dot_mode, cull=loop_cull,
         )
         # f32 accumulator: big renders overflow int32 (1024^2 x 1024 spp
         # traces ~2.7e9 rays); 1e-7 relative error is fine for throughput.
@@ -690,7 +703,9 @@ def render_regen(
                     L = L + tp * nee
                     chain_tp = tp * w_chain
                 else:
-                    L = L + tp * _nee_term(scene, cfg, accel, si, ls, wsum, cont)
+                    L = L + tp * _nee_term(
+                        scene, cfg, accel, si, ls, wsum, cont, cull=loop_cull
+                    )
             else:
                 ls, wsum_ = _sample_light(kstep, scene, cfg, si)
                 wsum = jnp.zeros((C,))

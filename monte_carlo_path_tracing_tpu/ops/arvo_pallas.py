@@ -26,11 +26,15 @@ a CDF boundary (~1e-7 probability class, same as the mxu_fast accept
 fringe); the regen renderer therefore uses this kernel only where the jnp
 path is not the parity oracle (TPU backend / interpret tests that opt in).
 
-The selection pdf stays exactly self-consistent: ``pdf = l_sum / wsum`` is
-evaluated from this kernel's own ``wsum`` output, and the per-triangle
-solid angles that enter ``wsum`` are accurate to ~1e-7 relative, so the
-estimator bias class is the same as the dot-mode fringe
-(docs/tpu_dotmode_variance.json).
+The selection pdf stays approximately self-consistent: ``pdf = l_sum /
+wsum`` is evaluated from this kernel's own ``wsum`` output. The measured
+accuracy of the kernel's solid angles / wsum vs the f64 oracle is ~4e-4
+relative worst-case (f32 cancellation in the Van Oosterom–Strackee
+denominator; tests/test_arvo_pallas.py asserts rtol=1e-3), and MIS
+weighting mixes this wsum with jnp-computed solid angles in pdf_of_tri
+(integrator/regen.py), so the self-consistency argument holds only to that
+~4e-4 class — still far below the per-sample MC noise at any practical
+spp (docs/tpu_dotmode_variance.json's image-level methodology applies).
 """
 
 from __future__ import annotations
@@ -200,5 +204,7 @@ def arvo_select(scene, x1, n, u):
     summation-order rounding at CDF boundaries; see module docstring).
     Returns (light_idx [N] i32, weights_sum [N] f32)."""
     Wx, Wn, rowc, lsum, L, Lp = pack_consts(scene)
-    interpret = jax.default_backend() == "cpu"
+    # Interpret everywhere except a real TPU: a forced --fused-arvo on any
+    # other backend (e.g. GPU) must not try to lower a pltpu kernel.
+    interpret = jax.default_backend() != "tpu"
     return _call(x1, n, u, Wx, Wn, rowc, lsum, L, Lp, interpret)

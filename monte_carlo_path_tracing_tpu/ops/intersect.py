@@ -48,6 +48,35 @@ TRI_BLOCK = 512
 CULL_NEAREST = False
 CULL_OCCLUDED = False
 
+#: accel="auto" dispatch thresholds, from the measured crossover
+#: (docs/tpu_scale_crossover.json, veach tessellation variants on v5e):
+#: plain all-pairs wins at 3k/10k tris (sort+cull overhead > savings),
+#: sort+cull crosses over near ~30k; the culled kernel is the RESIDENT
+#: form (whole W in VMEM) and blows the 16 MB scoped budget around ~100k
+#: tris at tile 256, so culling switches back off above the ceiling.
+#: The reference's uniform grid (ops/grid.py) never wins on TPU at any
+#: measured scale (3k: 166x slower than all-pairs; still 60s/batch at
+#: 30k) — data-dependent DDA defeats the vector units, so "auto" never
+#: picks it.
+AUTO_CULL_MIN_TRIS = 24_000
+AUTO_CULL_MAX_TRIS = 90_000
+
+
+def auto_policy(num_tris: int) -> dict:
+    """accel='auto' dispatch: which intersect configuration to run for a
+    scene of ``num_tris`` triangles (thresholds above; the integration
+    test pins the picks per T)."""
+    cull = AUTO_CULL_MIN_TRIS <= num_tris <= AUTO_CULL_MAX_TRIS
+    return {
+        # in-loop tri-tile culling + the lane sort that makes tiles
+        # coherent (they only pay off together, docs/tpu_sort_cull.json)
+        "cull": cull,
+        "ray_sort": cull,
+        # coherent one-off batches (camera fans, pre-pass shadow batches)
+        # cull whenever the resident kernel fits
+        "cull_coherent": num_tris <= AUTO_CULL_MAX_TRIS,
+    }
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -223,18 +223,42 @@ def _add_box(w: MeshWriter, mtl: str, base: Vec3, half: float, height: float, an
     )
 
 
-def author_veach_mis() -> Dict[str, str]:
+def author_veach_mis(
+    tess: float = 1.0,
+    sphere_subdiv: int = 1,
+    lamp_y: float = 8.0,
+    radii_scale: float = 1.0,
+    lamp_zs: Tuple[float, float, float, float] = (-7.5, -2.5, 2.5, 7.5),
+    plate_y0: float = -1.2,
+) -> Dict[str, str]:
     """Veach-MIS-style scene at the reference's facet scale (~3,092 tris,
     README.md:212): four long plates of increasing shininess, four spherical
     emitters of decreasing size / increasing radiance, floor + back wall.
-    Camera pose matches the reference XML (README.md:338-344)."""
+    Camera pose matches the reference XML (README.md:338-344).
+
+    ``tess`` scales the quad-grid tessellation density (triangle count of
+    the flat surfaces grows ~tess^2) and ``sphere_subdiv`` the emitter
+    icospheres — same geometry at any setting, so renders are equal-work
+    comparisons across scales. Used by scripts/tpu_scale_crossover.py to
+    measure the acceleration-structure crossover (the capability the
+    reference's uniform grid exists for, Myobj.cpp:110-162): tess 1/1.8/
+    3.2/5.9 gives ~3k/10k/30k/100k triangles.
+    ``lamp_y`` / ``radii_scale`` move and scale the emitter row: the
+    default layout hangs the emitters at y=8 so the *un-bugged* camera
+    frames the classic arrangement; the golden-compat variant
+    (:func:`author_veach_mis_golden`) lowers them into the Q2
+    degrees-as-radians window (quirk Q2, main.cpp:547 — ~6.4 deg vertical
+    => visible y in ~[1.2, 4.4] at 1x distance) so compat renders show the
+    emitter row + streaks like the reference's test.bmp.
+    """
     w = MeshWriter()
+    gq = lambda n: max(1, round(n * tess))
     # The cg23 camera (README.md:338-344) sits at x=+28 looking down -x, so
     # the classic arrangement is laid out along the x axis: floor at y=-2
     # (normal +y), backdrop wall at x=-12 (normal +x), plates running along
     # z and tilted up toward the camera, emitters hanging above/behind.
-    w.add_quad_grid("floor", (-12, -2, -12), (0, 0, 24), (32, 0, 0), 24, 24)
-    w.add_quad_grid("wall", (-12, -2, -12), (0, 20, 0), (0, 0, 24), 24, 24)
+    w.add_quad_grid("floor", (-12, -2, -12), (0, 0, 24), (32, 0, 0), gq(24), gq(24))
+    w.add_quad_grid("wall", (-12, -2, -12), (0, 20, 0), (0, 0, 24), gq(24), gq(24))
 
     # Four plates: long thin slabs (long axis = z), nearer plates lower,
     # shininess increasing back to front. Each plate's tilt is solved so the
@@ -243,24 +267,24 @@ def author_veach_mis() -> Dict[str, str]:
     plate_ns = [60.0, 400.0, 2000.0, 10000.0]
     depth = 2.5
     eye = (28.2792, 5.2, 0.0)
-    lamp = (-4.0, 8.0, 0.0)
+    lamp = (-4.0, lamp_y, 0.0)
     for i in range(4):
         x0 = 3.0 + 2.8 * i
-        y0 = -1.2 + 1.0 * i
+        y0 = plate_y0 + 1.0 * i
         cx, cy = x0 - 0.5 * depth, y0 + 0.4  # rough centre (refined below)
         to_l = _normalize((lamp[0] - cx, lamp[1] - cy, 0.0))
         to_e = _normalize((eye[0] - cx, eye[1] - cy, 0.0))
         nrm = _normalize((to_l[0] + to_e[0], to_l[1] + to_e[1], 0.0))
         tilt = math.atan2(nrm[0], nrm[1])  # rotation of +y normal toward +x
         du = (-depth * math.cos(tilt), depth * math.sin(tilt), 0.0)
-        w.add_quad_grid(f"plate{i}", (x0, y0, -10.0), du, (0, 0, 20.0), 8, 8)
+        w.add_quad_grid(f"plate{i}", (x0, y0, -10.0), du, (0, 0, 20.0), gq(8), gq(8))
 
     # Four spherical emitters above/behind the plates, radius halving,
     # power ~constant (radiance ~ 1/r^2 like Veach's original).
-    radii = [1.2, 0.6, 0.3, 0.15]
-    zs = [-7.5, -2.5, 2.5, 7.5]
+    radii = [radii_scale * r for r in (1.2, 0.6, 0.3, 0.15)]
+    zs = list(lamp_zs)
     for i, (r, z) in enumerate(zip(radii, zs)):
-        w.add_icosphere(f"light{i}", (-4.0, 8.0, z), r, 1)
+        w.add_icosphere(f"light{i}", (-4.0, lamp_y, z), r, sphere_subdiv)
 
     mats = [
         ("floor", (0.4, 0.4, 0.4), (0, 0, 0), 1.0),
@@ -291,3 +315,21 @@ def write_scene(files: Dict[str, str], out_dir: str) -> None:
     for name, text in files.items():
         with open(os.path.join(out_dir, name), "w") as f:
             f.write(text)
+
+
+def author_veach_mis_golden() -> Dict[str, str]:
+    """Golden-compat veach variant: emitter row inside the Q2 window.
+
+    The reference's committed BMPs (test.bmp, exp_report/*.bmp,
+    README.md:346-391) show the emitter row + specular streaks because its
+    (lost, quirk Q14) scene put the emitters where the degrees-as-radians
+    camera (quirk Q2, main.cpp:547) could see them. The default authored
+    layout targets the un-bugged camera (emitters at y=8, outside the
+    ~6.4 deg compat window); this variant lowers the row to y=3.8 and
+    scales the discs so the full classic composition — four emitter discs
+    upper half, streak bands below — lands inside the Q2 window at both
+    1x and 2x distance (docs/GOLDEN.md)."""
+    return author_veach_mis(
+        lamp_y=3.8, radii_scale=0.45,
+        lamp_zs=(-2.4, -0.9, 0.6, 2.1), plate_y0=0.2,
+    )

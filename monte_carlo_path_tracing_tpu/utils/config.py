@@ -79,10 +79,14 @@ class RenderConfig:
     # mantissa coverage; accept decisions can flip deterministically on a
     # ~1e-5-relative fringe of grazing cases — validated on full renders).
     dot_mode: Optional[str] = None
-    # Acceleration structure: "all_pairs" (MXU matmul/Pallas, production
-    # default) or "grid" (the reference's uniform grid + 3D-DDA, C10/C12 —
-    # wins once T is large enough that all-pairs work dominates).
-    accel: str = "all_pairs"
+    # Acceleration structure: "auto" (default — all-pairs kernels, with
+    # lane-sort + tri-tile culling switched in by triangle count per the
+    # measured crossover, ops/intersect.py::auto_policy /
+    # docs/tpu_scale_crossover.json), "all_pairs" (plain MXU brute force),
+    # or "grid" (the reference's uniform grid + 3D-DDA, C10/C12 — kept
+    # for parity; measured 100-600x slower than all-pairs on TPU at every
+    # scale, so auto never picks it).
+    accel: str = "auto"
     grid_n0: int = 100_000      # grid target cell count (main.cpp:520)
     # Regen renderer: reorder lanes by (direction cone, origin morton)
     # each iteration so kernel ray tiles are coherent and the pallas
@@ -133,9 +137,9 @@ class RenderConfig:
             raise ValueError("rr_prob must be in (0, 1)")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
-        if self.accel not in ("all_pairs", "grid"):
+        if self.accel not in ("auto", "all_pairs", "grid"):
             raise ValueError(
-                f"accel must be 'all_pairs' or 'grid', got {self.accel}"
+                f"accel must be 'auto', 'all_pairs' or 'grid', got {self.accel}"
             )
         if self.mis_blocker_compat and not self.ref_mis_weights:
             raise ValueError(

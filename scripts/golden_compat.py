@@ -46,7 +46,12 @@ def main():
     H = int(os.environ.get("GOLDEN_H", "720"))
     lanes = int(os.environ.get("GOLDEN_LANES", str(1 << 16)))
 
-    scene0 = load_scene(os.path.join(HERE, "scenes", "veach-mis", "veach-mis.obj"))
+    # The golden-compat variant puts the emitter row inside the Q2 window
+    # (scene/authoring.py::author_veach_mis_golden) so the compat renders
+    # show the reference's defining composition: emitter discs + streak
+    # bands (GOLDEN_SCENE=veach-mis reverts to the un-bugged-camera layout).
+    scene_name = os.environ.get("GOLDEN_SCENE", "veach-mis-golden")
+    scene0 = load_scene(os.path.join(HERE, "scenes", scene_name, "veach-mis.obj"))
     os.makedirs(IMG, exist_ok=True)
     stats = {"spp": spp, "w": W, "h": H}
 

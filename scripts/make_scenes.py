@@ -13,6 +13,7 @@ def main() -> None:
     root = os.path.join(os.path.dirname(__file__), "..", "scenes")
     authoring.write_scene(authoring.author_cornell_box(), os.path.join(root, "cornell"))
     authoring.write_scene(authoring.author_veach_mis(), os.path.join(root, "veach-mis"))
+    authoring.write_scene(authoring.author_veach_mis_golden(), os.path.join(root, "veach-mis-golden"))
     print("scenes written to", os.path.abspath(root))
 
 
