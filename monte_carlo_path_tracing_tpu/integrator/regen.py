@@ -306,6 +306,10 @@ def primary_prepass(
                 else:
                     ls = light_uniform.sample(kstep, scene, rows.shape[0])
                 nsh = nsh + jnp.sum(live.astype(jnp.float32))
+                # (A picked-light shadow-ray sort was measured at parity
+                # here: directions tighten but each ray tile's ORIGIN box
+                # still spans the whole visible scene, so the cull masks
+                # stay dense and the sort is pure overhead.)
                 nee = _nee_term(
                     scene, cfg, accel, si_c, ls, wsum_c, live, cull=cull_co
                 )

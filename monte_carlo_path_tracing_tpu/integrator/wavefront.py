@@ -303,11 +303,13 @@ def _light_pdf_of_hit(scene, cfg, si, prev_p, prev_ns, prev_wsum):
     return jnp.where(si.light_idx >= 0, pdf, 0.0)
 
 
-def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None):
+def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None, blocked=None):
     """MIS light strategy as NEE (main.cpp:443-464 restructured per Q11):
     contribution = I * f * cos / (p_light + p_brdf), both solid-angle.
     ``cull`` forwards to the occlusion kernel (the primary pre-pass passes
-    True — its shadow batches are pixel-ordered, hence coherent)."""
+    True — its shadow batches are pixel-ordered, hence coherent); a caller
+    that already traced the shadow rays (e.g. in light-sorted order, see
+    integrator/regen.py's pre-pass) passes ``blocked`` instead."""
     wl_raw = ls.coord - si.p
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
     dist = jnp.sqrt(dist2)
@@ -317,10 +319,11 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None):
     cos_l = -vm.dot(wl, nl)
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
-    blocked = ops_intersect.occluded(
-        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode,
-        cull=cull,
-    )
+    if blocked is None:
+        blocked = ops_intersect.occluded(
+            accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg),
+            mode=cfg.dot_mode, cull=cull,
+        )
     visible = ok & ~blocked
 
     if cfg.light_sampler == LS_SPHERICAL:
