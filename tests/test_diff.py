@@ -198,7 +198,10 @@ def test_inverse_rendering_joint_four_families(cornell_scene, veach_scene):
         }
 
     c = joint(cornell_scene, (32, 32), 250, 512, 0.08, None, 2)
-    assert c["kd"][1] < 0.5 * c["kd"][0], c["kd"]
+    # kd gate sized from a 3-seed sweep at this budget (ratios 0.07-0.15;
+    # the 1500-step x 4096-ray artifact run reaches 0.017 absolute =
+    # ratio 0.11, docs/inverse_joint_recovery.json).
+    assert c["kd"][1] < 0.25 * c["kd"][0], c["kd"]
     assert c["ks"][1] < 0.6 * c["ks"][0], c["ks"]
     assert c["em_rel"][1] < 0.25 * c["em_rel"][0], c["em_rel"]
 
