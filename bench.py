@@ -73,7 +73,11 @@ def main() -> None:
 
     spp = int(os.environ.get("BENCH_SPP", "8"))
     res = int(os.environ.get("BENCH_RES", "1024"))
-    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 15)))  # 32k lanes: measured fastest (3.59 vs 3.40 Mrays/s at 64k)
+    # 16k lanes: fastest for the primary-cache seeded loop (4.45 vs 4.16
+    # Mrays/s at 32k — the shorter seeded run makes the drain-out tail
+    # relatively larger, docs/tpu_iteration_budget_r4.json); the uncached
+    # loop's optimum remains 32k (BENCH_PRIMARY_CACHE=0 sets it below).
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 14)))
     estimator = os.environ.get("BENCH_ESTIMATOR", "mis")
     dot_mode = os.environ.get("BENCH_DOT_MODE") or None
     scene_path = os.environ.get(
@@ -133,6 +137,8 @@ def main() -> None:
         # handles depth >= 1 only. Same estimate/streams as the plain loop
         # (tests/test_primary_cache.py); BENCH_PRIMARY_CACHE=0 reverts.
         use_cache = os.environ.get("BENCH_PRIMARY_CACHE", "1") != "0"
+        if not use_cache and "BENCH_CHUNK" not in os.environ:
+            lanes = 1 << 15          # uncached loop's measured optimum
         if use_cache:
             from monte_carlo_path_tracing_tpu.integrator.regen import (
                 render_regen_cached,
