@@ -91,9 +91,8 @@ def _nee_full(scene, cfg, accel, tri_to_light, si, ls, alive):
         p_light = common.area_pdf_to_solid_angle(
             ls.pdf, dist2, -vm.dot(wl, ls.nl)
         )
-    p_b = phong.pdf_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
+    f, p_b = phong.eval_and_pdf_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
     denom = _SG(jnp.maximum(p_light + p_b, 1e-20))
-    f = phong.eval_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
     w_chain = f * (cos_x / denom)[:, None]
 
     emit_now = ok & lh.valid & si2.front & si2.is_light

@@ -330,10 +330,11 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None, blocked=None):
         p_light = ls.pdf
     else:
         p_light = common.area_pdf_to_solid_angle(ls.pdf, dist2, cos_l)
-    p_brdf = phong.pdf_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
+    f, p_brdf = phong.eval_and_pdf_brdf(
+        si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp
+    )
     denom = _SG(jnp.maximum(p_light + p_brdf, 1e-20))
 
-    f = phong.eval_brdf(si.ns, wl, si.wo, si.kd, si.ks, si.ns_exp)
     contrib = ls.emission * f * (cos_x / denom)[:, None]
     return jnp.where(visible[:, None], contrib, 0.0)
 

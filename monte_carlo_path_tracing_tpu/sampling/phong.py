@@ -80,6 +80,26 @@ def _powfast(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > 0.0, jnp.exp(n * jnp.log(safe)), 0.0)
 
 
+def eval_and_pdf_brdf(
+    n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray,
+    kd: jnp.ndarray, ks: jnp.ndarray, ns: jnp.ndarray,
+):
+    """(f_r(wi->wo), mixture sampling pdf of wi) sharing ONE specular pow.
+
+    Both need (ns+1)/2pi * cos_r^ns with the same cos_r — the Phong lobe
+    is reflection-symmetric: wo . reflect(wi, n) == wi . reflect(wo, n)
+    (expand reflect: both equal 2(wi.n)(wo.n) - wi.wo). The pow dominates
+    the NEE math cost on the VPU, so every NEE evaluation (wavefront +
+    regen + pre-pass) uses this fused form."""
+    r = vm.reflect(wi, n)
+    cos_rw = jnp.maximum(vm.dot(wo, r), 0.0)
+    spec = (ns + 1.0) * INV_2PI * _powfast(cos_rw, ns)
+    f = kd * INV_PI + ks * spec[..., None]
+    pd, ps = lobe_probs(kd, ks)
+    p_diff = jnp.maximum(vm.dot(wi, n), 0.0) * INV_PI
+    return f, pd * p_diff + ps * spec
+
+
 def pdf_brdf(
     n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray,
     kd: jnp.ndarray, ks: jnp.ndarray, ns: jnp.ndarray,
