@@ -189,8 +189,9 @@ def primary_prepass(
     u_ax, v_ax, n_ax, dist = camera_basis(cam)
     plen = pixel_len(cam, dist)
 
-    # Coherent-batch culling: on whenever the resident culled kernel fits.
-    cull_co = scene.num_tris <= ops_intersect.AUTO_CULL_MAX_TRIS
+    # Coherent-batch culling: always on — chunked composition
+    # (ops/intersect.py::CULL_CHUNK_TRIS) covers any triangle count.
+    cull_co = True
 
     # Flattened per-chunk batch is chunk * spp_cap samples; clamp so it
     # stays ~256k rows whatever the launch's spp is.
@@ -215,8 +216,8 @@ def primary_prepass(
         gpix = pix_local * pixel_stride + pixel_offset
         ro, rd = _primary_dirs(cam, u_ax, v_ax, n_ax, dist, plen, gpix)
         # Camera fans are naturally coherent: the tri-tile culling bites
-        # without any lane sort — when the resident culled kernel fits
-        # (whole W in VMEM; ops/intersect.py::AUTO_CULL_MAX_TRIS).
+        # without any lane sort (chunked composition handles any T,
+        # ops/intersect.py::CULL_CHUNK_TRIS).
         hit = ops_intersect.intersect(
             accel, ro, rd, jnp.full((chunk,), ops_intersect.NO_HIT, jnp.int32),
             impl=_impl(cfg), mode=cfg.dot_mode, cull=cull_co,

@@ -48,33 +48,47 @@ TRI_BLOCK = 512
 CULL_NEAREST = False
 CULL_OCCLUDED = False
 
-#: accel="auto" dispatch thresholds, from the measured crossover
+#: accel="auto" dispatch threshold, from the measured crossover
 #: (docs/tpu_scale_crossover.json, veach tessellation variants on v5e):
 #: plain all-pairs wins at 3k/10k tris (sort+cull overhead > savings),
-#: sort+cull crosses over near ~30k; the culled kernel is the RESIDENT
-#: form (whole W in VMEM) and blows the 16 MB scoped budget around ~100k
-#: tris at tile 256, so culling switches back off above the ceiling.
-#: The reference's uniform grid (ops/grid.py) never wins on TPU at any
-#: measured scale (3k: 166x slower than all-pairs; still 60s/batch at
-#: 30k) — data-dependent DDA defeats the vector units, so "auto" never
-#: picks it.
+#: sort+cull crosses over near ~30k. The culled kernel is the RESIDENT
+#: form (whole W in VMEM); above CULL_CHUNK_TRIS the triangle set is
+#: split into morton-contiguous chunks whose hits are min-composed in
+#: XLA, so culling works at any T. The reference's uniform grid
+#: (ops/grid.py) never wins on TPU at any measured scale (3k: 166x
+#: slower than all-pairs; still 60s/batch at 30k) — data-dependent DDA
+#: defeats the vector units, so "auto" never picks it.
 AUTO_CULL_MIN_TRIS = 24_000
-AUTO_CULL_MAX_TRIS = 90_000
+
+#: Max triangles per culled resident-kernel call: whole-W residency
+#: measured safe at 30k (4.9 MB of W) and scoped-vmem OOM near ~104k
+#: (26 MB); 32k-tri chunks (5.2 MB) leave headroom for per-tile temps.
+CULL_CHUNK_TRIS = 32_768
+
+
+def _compose_nearest(a: Hit, b: Hit) -> Hit:
+    """Min-t composition of two partial nearest-hit results."""
+    take_b = b.valid & (~a.valid | (b.t < a.t))
+    pick = lambda x, y: jnp.where(take_b, y, x)
+    return Hit(
+        t=pick(a.t, b.t), tri_id=pick(a.tri_id, b.tri_id),
+        u=pick(a.u, b.u), v=pick(a.v, b.v), valid=a.valid | b.valid,
+    )
 
 
 def auto_policy(num_tris: int) -> dict:
     """accel='auto' dispatch: which intersect configuration to run for a
     scene of ``num_tris`` triangles (thresholds above; the integration
     test pins the picks per T)."""
-    cull = AUTO_CULL_MIN_TRIS <= num_tris <= AUTO_CULL_MAX_TRIS
+    cull = num_tris >= AUTO_CULL_MIN_TRIS
     return {
         # in-loop tri-tile culling + the lane sort that makes tiles
         # coherent (they only pay off together, docs/tpu_sort_cull.json)
         "cull": cull,
         "ray_sort": cull,
         # coherent one-off batches (camera fans, pre-pass shadow batches)
-        # cull whenever the resident kernel fits
-        "cull_coherent": num_tris <= AUTO_CULL_MAX_TRIS,
+        # always cull — chunked composition covers any T
+        "cull_coherent": True,
     }
 
 
@@ -181,6 +195,22 @@ def intersect(
     if impl == "pallas":
         from monte_carlo_path_tracing_tpu.ops import intersect_pallas
 
+        if cull and accel.aabb_lo is not None \
+                and accel.W.shape[0] > CULL_CHUNK_TRIS:
+            # Chunked composition (any T): run the culled RESIDENT kernel
+            # per morton-contiguous triangle chunk — each chunk is itself
+            # spatially compact, so per-chunk tile culling still bites —
+            # and min-compose the per-chunk nearest hits in XLA.
+            best = None
+            for c0 in range(0, accel.W.shape[0], CULL_CHUNK_TRIS):
+                sl = slice(c0, c0 + CULL_CHUNK_TRIS)
+                h = intersect_pallas.intersect_pallas(
+                    ro, rd, accel.W[sl], accel.tri_ids[sl], exclude_id,
+                    t_eps=t_eps, mode=mode,
+                    aabb_lo=accel.aabb_lo[sl], aabb_hi=accel.aabb_hi[sl],
+                )
+                best = h if best is None else _compose_nearest(best, h)
+            return best
         return intersect_pallas.intersect_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, t_eps=t_eps, mode=mode,
             aabb_lo=accel.aabb_lo if cull else None,
@@ -232,6 +262,18 @@ def occluded(
 
         if exclude_id is None:
             exclude_id = jnp.full((ro.shape[0],), NO_HIT, jnp.int32)
+        if cull and accel.aabb_lo is not None \
+                and accel.W.shape[0] > CULL_CHUNK_TRIS:
+            blocked = None
+            for c0 in range(0, accel.W.shape[0], CULL_CHUNK_TRIS):
+                sl = slice(c0, c0 + CULL_CHUNK_TRIS)
+                b = intersect_pallas.occluded_pallas(
+                    ro, rd, accel.W[sl], accel.tri_ids[sl], exclude_id,
+                    scaled, t_eps=t_eps, mode=mode,
+                    aabb_lo=accel.aabb_lo[sl], aabb_hi=accel.aabb_hi[sl],
+                )
+                blocked = b if blocked is None else (blocked | b)
+            return blocked
         return intersect_pallas.occluded_pallas(
             ro, rd, accel.W, accel.tri_ids, exclude_id, scaled, t_eps=t_eps,
             mode=mode,
