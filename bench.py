@@ -117,7 +117,8 @@ def main() -> None:
         )
 
         mesh = make_mesh((n_dev,), ("tiles",))
-        fn = make_regen_sharded(scene, cfg, mesh, lanes)
+        cap = spp if os.environ.get("BENCH_PRIMARY_CACHE", "1") != "0" else None
+        fn = make_regen_sharded(scene, cfg, mesh, lanes, spp_cap=cap)
         # Warmup materializes on host too, so compile + first execution are
         # fully retired before the clock starts.
         wfb, _ = fn(scene, key, jnp.int32(1))

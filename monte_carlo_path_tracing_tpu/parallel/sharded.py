@@ -54,6 +54,7 @@ def make_regen_sharded(
     cfg: RenderConfig,
     mesh: Mesh,
     lanes_per_device: int = 1 << 16,
+    spp_cap: int | None = None,
 ):
     """Build a jitted sharded path-regeneration renderer.
 
@@ -65,8 +66,16 @@ def make_regen_sharded(
           -> (framebuffer_sum [n_pix, 3], rays_traced)
     with the sample count TRACED so a cheap warmup call shares the
     compiled program with the timed/real run.
+
+    ``spp_cap`` (static upper bound on the traced spp) opts the shards
+    into the primary-hit cache renderer when the config is eligible: each
+    shard runs its own pre-pass over its interleaved pixel subset (the
+    pre-pass takes the shard's (offset, stride) so per-pixel streams stay
+    global) and a seed-mode loop. None keeps the plain regen loop.
     """
-    from monte_carlo_path_tracing_tpu.integrator.regen import render_regen
+    from monte_carlo_path_tracing_tpu.integrator.regen import (
+        primary_cache_eligible, render_regen, render_regen_cached,
+    )
 
     cam = scene_like.camera
     n_pix = cam.height * cam.width
@@ -74,6 +83,10 @@ def make_regen_sharded(
     if n_pix % nd:
         raise ValueError(f"pixel count {n_pix} not divisible by {nd} devices")
     local = n_pix // nd
+    use_cache = spp_cap is not None and (
+        cfg.primary_cache if cfg.primary_cache is not None
+        else primary_cache_eligible(cfg)
+    )
 
     def shard_fn(sc, key, spp):
         d = jax.lax.axis_index(AXIS_TILES)
@@ -83,10 +96,16 @@ def make_regen_sharded(
         # Streams are keyed by GLOBAL (spp round, pixel id) inside
         # render_regen — no per-device key fold — so the image is invariant
         # to the device count (tests/test_parallel.py pins 1- vs N-device).
-        fb, nrays, _, _ = render_regen(
-            sc, cfg, key, local, local * spp,
-            lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
-        )
+        if use_cache:
+            fb, nrays, _, _ = render_regen_cached(
+                sc, cfg, key, local, spp_cap, spp,
+                lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
+            )
+        else:
+            fb, nrays, _, _ = render_regen(
+                sc, cfg, key, local, local * spp,
+                lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
+            )
         return fb, jax.lax.psum(nrays, AXIS_TILES)
 
     fn = jax.shard_map(
@@ -116,11 +135,12 @@ def render_regen_sharded(
     key,
     mesh: Mesh,
     lanes_per_device: int = 1 << 16,
+    spp_cap: int | None = None,
 ):
     """One-shot convenience wrapper over :func:`make_regen_sharded`.
     Returns (framebuffer_sum [n_pix,3] in GLOBAL pixel order (host array),
     rays_traced)."""
-    fn = make_regen_sharded(scene, cfg, mesh, lanes_per_device)
+    fn = make_regen_sharded(scene, cfg, mesh, lanes_per_device, spp_cap)
     fb, nrays = fn(scene, key, jnp.int32(cfg.spp))
     nd = mesh.shape[AXIS_TILES]
     return deinterleave_framebuffer(fb, nd), nrays

@@ -94,3 +94,28 @@ def test_jitter_falls_back_uncached(cornell_scene):
     cfg = _cfg(spp=2, pixel_jitter=True)
     r = render_image_regen(s, cfg, lanes=64)
     assert np.isfinite(r.image).all()
+
+
+def test_sharded_cached_matches_unsharded(cornell_scene):
+    """Sharded regen with spp_cap (per-shard pre-pass over an interleaved
+    pixel subset) must reproduce the unsharded cached image: streams are
+    keyed by global (spp round, pixel id), so the mesh layout is
+    invisible to the estimate."""
+    import jax
+    import jax.numpy as jnp
+
+    from monte_carlo_path_tracing_tpu.parallel import make_mesh
+    from monte_carlo_path_tracing_tpu.parallel.sharded import (
+        render_regen_sharded,
+    )
+
+    s = _small(cornell_scene)
+    cfg = _cfg(spp=3).replace(primary_cache=True)
+    un = render_image_regen(s, cfg, lanes=64)
+    mesh = make_mesh((4,), ("tiles",), devices=jax.devices()[:4])
+    fb, nrays = render_regen_sharded(
+        s, cfg, jax.random.key(cfg.seed), mesh, lanes_per_device=64,
+        spp_cap=cfg.spp,
+    )
+    img = (np.asarray(fb) / cfg.spp).reshape(16, 24, 3)
+    np.testing.assert_allclose(img, un.image, rtol=1e-5, atol=1e-5)
