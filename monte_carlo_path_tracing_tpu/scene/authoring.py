@@ -333,3 +333,79 @@ def author_veach_mis_golden() -> Dict[str, str]:
         lamp_y=3.8, radii_scale=0.45,
         lamp_zs=(-2.4, -0.9, 0.6, 2.1), plate_y0=0.2,
     )
+
+
+def author_bathroom(tess: float = 1.9) -> Dict[str, str]:
+    """Bathroom-style interior — the reference's third scene slot
+    (`".\\Debug\\bathroom\\bathroom.obj"` is a commented constant in
+    main.cpp:19-21; the cg23 assignment shipped cornell-box / veach-mis /
+    bathroom, all lost with the asset zip, quirk Q14). Authored here in
+    the same cg23 format: a tiled room with a large mirror, a tub, a
+    counter with a spherical basin, ornament spheres, and a ceiling panel
+    + warm window emitter. At the default tessellation the scene lands at
+    ~28k triangles — inside the sort+cull window of the accel='auto'
+    policy (docs/tpu_scale_crossover.json), so the bundled scenes cover
+    both sides of the measured crossover."""
+    w = MeshWriter()
+    gq = lambda n: max(1, round(n * tess))
+    # Room shell: x in [0,4], y in [0,2.6], z in [0,3]. Inward normals.
+    w.add_quad_grid("wall_plaster", (0, 0, 0), (4, 0, 0), (0, 2.6, 0), gq(24), gq(20))   # back (z=0), normal +z
+    w.add_quad_grid("wall_plaster", (0, 0, 3), (0, 2.6, 0), (4, 0, 0), gq(20), gq(24))   # front (z=3), normal -z
+    w.add_quad_grid("wall_plaster", (0, 0, 0), (0, 2.6, 0), (0, 0, 3), gq(20), gq(20))   # left (x=0), normal +x
+    w.add_quad_grid("wall_tile", (4, 0, 0), (0, 0, 3), (0, 2.6, 0), gq(20), gq(20))      # right (x=4), normal -x
+    w.add_quad_grid("ceiling", (0, 2.6, 0), (4, 0, 0), (0, 0, 3), gq(22), gq(20))        # -y
+    # Checkered floor: 8x6 tiles, each tessellated
+    for i in range(8):
+        for j in range(6):
+            mtl = "tile_white" if (i + j) % 2 == 0 else "tile_teal"
+            w.add_quad_grid(mtl, (0.5 * i, 0.0, 0.5 * j),
+                            (0, 0, 0.5), (0.5, 0, 0), gq(5), gq(5))
+    # Mirror on the back wall (facing +z, toward the camera) with a frame
+    w.add_quad_grid("mirror", (0.8, 0.9, 0.02), (1.8, 0, 0), (0, 1.3, 0), gq(8), gq(8))
+    _add_box(w, "frame", (1.7, 0.82, 0.05), 0.05, 0.08, 0.0)
+    _add_box(w, "frame", (1.7, 2.2, 0.05), 0.05, 0.08, 0.0)
+    # Counter under the mirror with a spherical basin + tap ornament
+    _add_box(w, "counter", (1.7, 0.0, 0.35), 0.45, 0.85, 0.0)
+    w.add_icosphere("basin", (1.7, 0.88, 0.35), 0.28, 3)
+    w.add_icosphere("chrome", (1.95, 1.02, 0.18), 0.06, 2)
+    # Tub along the right wall
+    _add_box(w, "tub", (3.4, 0.0, 1.5), 0.55, 0.55, 0.0)
+    _add_box(w, "tub_rim", (3.4, 0.55, 1.5), 0.6, 0.06, 0.0)
+    # Ornament spheres on the floor / shelf
+    w.add_icosphere("chrome", (0.5, 0.18, 2.3), 0.18, 3)
+    w.add_icosphere("soap", (1.35, 0.93, 0.55), 0.07, 2)
+    w.add_icosphere("soap", (2.1, 0.93, 0.5), 0.05, 2)
+    # Lights: ceiling panel (down) + warm window strip high on the left wall
+    w.add_quad_grid("LightPanel", (1.4, 2.59, 1.1), (1.2, 0, 0), (0, 0, 0.9), 2, 2)
+    w.add_quad_grid("LightWindow", (0.01, 1.6, 0.9), (0, 0.8, 0), (0, 0, 1.2), 2, 2)
+
+    mats = [
+        ("wall_plaster", (0.62, 0.60, 0.56), (0, 0, 0), 1.0),
+        ("wall_tile", (0.55, 0.66, 0.70), (0.10, 0.10, 0.10), 40.0),
+        ("ceiling", (0.70, 0.70, 0.70), (0, 0, 0), 1.0),
+        ("tile_white", (0.72, 0.72, 0.70), (0.08, 0.08, 0.08), 80.0),
+        ("tile_teal", (0.15, 0.42, 0.45), (0.08, 0.08, 0.08), 80.0),
+        ("mirror", (0.03, 0.03, 0.03), (0.85, 0.85, 0.85), 8000.0),
+        ("frame", (0.25, 0.18, 0.10), (0.05, 0.05, 0.05), 20.0),
+        ("counter", (0.35, 0.30, 0.28), (0.12, 0.12, 0.12), 120.0),
+        ("basin", (0.65, 0.67, 0.68), (0.20, 0.20, 0.20), 300.0),
+        ("chrome", (0.05, 0.05, 0.05), (0.75, 0.78, 0.80), 2500.0),
+        ("tub", (0.68, 0.70, 0.72), (0.15, 0.15, 0.15), 200.0),
+        ("tub_rim", (0.68, 0.70, 0.72), (0.15, 0.15, 0.15), 200.0),
+        ("soap", (0.75, 0.55, 0.50), (0.10, 0.10, 0.10), 60.0),
+        ("LightPanel", (0, 0, 0), (0, 0, 0), 1.0),
+        ("LightWindow", (0, 0, 0), (0, 0, 0), 1.0),
+    ]
+    lights = [
+        ("LightPanel", (22.0, 22.0, 20.0)),
+        ("LightWindow", (30.0, 24.0, 14.0)),
+    ]
+    cam = (
+        (2.1, 1.35, 2.85), (1.8, 1.25, 0.0), (0.0, 1.0, 0.0),
+        55.0, 1280, 720,
+    )
+    return {
+        "bathroom.obj": w.obj_text("bathroom.mtl"),
+        "bathroom.mtl": _mtl_text(mats),
+        "bathroom.xml": _xml_text(cam, lights),
+    }

@@ -14,6 +14,7 @@ def main() -> None:
     authoring.write_scene(authoring.author_cornell_box(), os.path.join(root, "cornell"))
     authoring.write_scene(authoring.author_veach_mis(), os.path.join(root, "veach-mis"))
     authoring.write_scene(authoring.author_veach_mis_golden(), os.path.join(root, "veach-mis-golden"))
+    authoring.write_scene(authoring.author_bathroom(), os.path.join(root, "bathroom"))
     print("scenes written to", os.path.abspath(root))
 
 

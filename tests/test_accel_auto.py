@@ -86,3 +86,28 @@ def test_chunked_cull_composition_matches(cornell_scene, monkeypatch):
     occ_chunk = ops_intersect.occluded(accel, ro, rd, t_max, ex,
                                        impl="pallas", mode="vpu", cull=True)
     np.testing.assert_array_equal(np.asarray(occ_chunk), np.asarray(occ_ref))
+
+
+def test_bathroom_scene_exercises_cull_window():
+    """The bundled bathroom scene (the reference's third scene slot,
+    main.cpp:19-21 commented constants) sits INSIDE the sort+cull window,
+    so the default accel='auto' exercises the culled configuration on a
+    bundled scene; smoke-render it."""
+    import os
+
+    from monte_carlo_path_tracing_tpu.scene import load_scene
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                        "bathroom", "bathroom.obj")
+    s = load_scene(path)
+    assert s.num_tris >= AUTO_CULL_MIN_TRIS, s.num_tris
+    pol = auto_policy(s.num_tris)
+    assert pol["cull"] and pol["ray_sort"]
+    s = dataclasses.replace(
+        s, camera=dataclasses.replace(s.camera, width=16, height=12))
+    cfg = RenderConfig(width=16, height=12, spp=1, estimator="mis",
+                       light_sampler="spherical_triangle", max_depth=3,
+                       seed=0)
+    r = render_image_regen(s, cfg, lanes=64)
+    assert np.isfinite(r.image).all()
+    assert r.image.sum() > 0
