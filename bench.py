@@ -130,6 +130,8 @@ def main() -> None:
         fb, nrays = fn(scene, key, jnp.int32(spp))
         checksum = float(np.asarray(fb).sum())
         total_rays = int(nrays)
+        # The sharded interface doesn't plumb the physical count; on pod
+        # slices the extra line reports logical == physical.
         rays_physical = total_rays
         dt = time.perf_counter() - t0
     else:
