@@ -118,21 +118,20 @@ def main() -> None:
 
         mesh = make_mesh((n_dev,), ("tiles",))
         cap = spp if os.environ.get("BENCH_PRIMARY_CACHE", "1") != "0" else None
-        fn = make_regen_sharded(scene, cfg, mesh, lanes, spp_cap=cap)
+        fn = make_regen_sharded(scene, cfg, mesh, lanes, spp_cap=cap,
+                                with_physical=True)
         # Warmup materializes on host too, so compile + first execution are
         # fully retired before the clock starts.
-        wfb, _ = fn(scene, key, jnp.int32(1))
+        wfb, _, _ = fn(scene, key, jnp.int32(1))
         np.asarray(wfb)
         # Timed region ends at a HOST materialization (device->host copy of
         # the framebuffer + ray counter): block_until_ready is NOT trusted
         # on this platform (round-2 postmortem above).
         t0 = time.perf_counter()
-        fb, nrays = fn(scene, key, jnp.int32(spp))
+        fb, nrays, nphys = fn(scene, key, jnp.int32(spp))
         checksum = float(np.asarray(fb).sum())
         total_rays = int(nrays)
-        # The sharded interface doesn't plumb the physical count; on pod
-        # slices the extra line reports logical == physical.
-        rays_physical = total_rays
+        rays_physical = int(nphys) or total_rays
         dt = time.perf_counter() - t0
     else:
         # Primary-hit cache (round 4, integrator/regen.py): one primary

@@ -106,11 +106,13 @@ def primary_cache_eligible(cfg: RenderConfig) -> bool:
     configurations whose depth-0 work is per-pixel-deterministic: no
     sub-pixel jitter (the reference's default — all spp of a pixel re-trace
     one direction, main.cpp:563-567) and no blocker-chain compat (whose
-    depth-0 NEE spawns queue work). Estimators: mis and brdf."""
+    depth-0 NEE spawns queue work). Estimators: mis, brdf and split (split
+    partitions on the hit mask alone, since its direct term is NOT gated
+    by Russian roulette — main.cpp:298-329)."""
     return (
         not cfg.pixel_jitter
         and not cfg.mis_blocker_compat
-        and cfg.estimator in (EST_MIS, EST_BRDF)
+        and cfg.estimator in (EST_MIS, EST_BRDF, EST_SPLIT)
     )
 
 
@@ -185,6 +187,7 @@ def primary_prepass(
     tri_to_light = common.light_index_table(scene)
     spherical = cfg.light_sampler == LS_SPHERICAL
     is_mis = cfg.estimator == EST_MIS
+    is_split = cfg.estimator == EST_SPLIT
     cam = scene.camera
     u_ax, v_ax, n_ax, dist = camera_basis(cam)
     plen = pixel_len(cam, dist)
@@ -234,7 +237,7 @@ def primary_prepass(
         )
         shade0 = hitok & ~si.is_light
 
-        if is_mis and spherical:
+        if (is_mis or is_split) and spherical:
             weights, wsum = light_spherical.prepare(scene, si.p, si.ns)
             cdf = jnp.cumsum(weights, axis=-1)            # [chunk, L]
             n_lights = weights.shape[-1]
@@ -260,20 +263,27 @@ def primary_prepass(
         xi_rr = rng.uniform(rng.fold_in(lk0, rng.P_RR), (S,))
         survive = xi_rr < cfg.rr_prob
         # mis: RR gates BOTH strategies (main.cpp:429-437); brdf: gates the
-        # continuation (the only depth-0 work besides emission).
-        cont0 = jnp.broadcast_to(shade0[None], (R, chunk)).reshape(S) \
-            & r_live & survive
+        # continuation (the only depth-0 work besides emission); split: the
+        # direct term runs for every primary-hit sample and RR gates only
+        # the continuation (main.cpp:298-329) — so split partitions on the
+        # hit mask and applies RR inside the stage.
+        hit_live = jnp.broadcast_to(shade0[None], (R, chunk)).reshape(S) \
+            & r_live
+        cont0 = hit_live & survive
+        part_mask = hit_live if is_split else cont0
 
         # Stable partition: survivors first, original order preserved — so
         # seed order is identical to the uncompacted formulation. (A
         # cumsum+scatter counting sort was measured at parity with argsort
         # here — the scatter's irregular writes cost what the sort saves.)
-        order = jnp.argsort(~cont0, stable=True)
-        n_live = jnp.sum(cont0.astype(jnp.int32))
+        order = jnp.argsort(~part_mask, stable=True)
+        n_live = jnp.sum(part_mask.astype(jnp.int32))
         # Survivor count is ~rr_prob * hit_fraction * S; the prefix covers
         # rr_prob + 2.5% which a Binomial(S, rr_prob) essentially never
         # exceeds — the cond'd tail pass below keeps exactness anyway.
-        P = min(S, -(-int(S * min(1.0, cfg.rr_prob + 0.025)) // 256) * 256)
+        # (split: no RR gate before the direct term, so no usable prefix.)
+        P = S if is_split else \
+            min(S, -(-int(S * min(1.0, cfg.rr_prob + 0.025)) // 256) * 256)
 
         def stage(rows, fb_acc, seeds_sample, seeds_f, count, nsh):
             """Depth-0 shading for the samples at flat indices ``rows``
@@ -281,11 +291,41 @@ def primary_prepass(
             continuation seeds appended. Per-pixel state is gathered from
             the [chunk]-sized cache, per-sample draws from each sample's
             own stream key — values are identical to the unpacked form."""
-            live = cont0[rows]
+            live = part_mask[rows]
             pix = rows % chunk                           # flat = r*chunk + pix
             lk0_c = lk0[rows]
             si_c = jax.tree_util.tree_map(lambda a: a[pix], si)
             wsum_c = wsum[pix]
+
+            if is_split:
+                kstep = rng.fold_in(lk0_c, rng.P_LIGHT_SELECT)
+                if spherical:
+                    u = rng.uniform(rng.fold_in(kstep, 0), (rows.shape[0],))
+                    thresh = u * wsum_c
+                    lidx = jnp.minimum(
+                        jnp.sum(
+                            (cdf[pix] <= thresh[:, None]).astype(jnp.int32), -1
+                        ),
+                        n_lights - 1,
+                    )
+                    ls = light_spherical.sample_from_pick(
+                        rng.fold_in(kstep, 1), scene, si_c.p, si_c.ns,
+                        lidx, wsum_c,
+                    )
+                else:
+                    ls = light_uniform.sample(kstep, scene, rows.shape[0])
+                nsh = nsh + jnp.sum(live.astype(jnp.float32))
+                from monte_carlo_path_tracing_tpu.integrator.wavefront import (
+                    _direct_term,
+                )
+
+                direct = _direct_term(
+                    scene, cfg, accel, si_c, ls, live, 0, kstep, cull=cull_co
+                )
+                fb_acc = fb_acc.at[pix].add(
+                    jnp.where(live[:, None], direct, 0.0)
+                )
+                live = live & survive[rows]   # RR gates only the bounce
 
             if is_mis:
                 kstep = rng.fold_in(lk0_c, rng.P_LIGHT_SELECT)

@@ -196,11 +196,12 @@ def _sample_light(key, scene, cfg, si):
     return ls, None
 
 
-def _direct_term(scene, cfg, accel, si, ls, alive, d, key):
+def _direct_term(scene, cfg, accel, si, ls, alive, d, key, cull=None):
     """Shadow-rayed direct-light contribution of `shade` (main.cpp:298-314).
 
     Visibility requires the shadow ray's nearest hit to be exactly the
-    sampled light triangle (main.cpp:311).
+    sampled light triangle (main.cpp:311). ``cull`` forwards to the
+    occlusion kernel (coherent pre-pass batches pass True).
     """
     wl_raw = ls.coord - si.p
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
@@ -212,7 +213,8 @@ def _direct_term(scene, cfg, accel, si, ls, alive, d, key):
     ok = alive & ls.valid & (cos_x > 0.0) & (cos_l > 0.0)
 
     blocked = ops_intersect.occluded(
-        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode
+        accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg), mode=cfg.dot_mode,
+        cull=cull,
     )
     visible = ok & ~blocked
 

@@ -55,6 +55,7 @@ def make_regen_sharded(
     mesh: Mesh,
     lanes_per_device: int = 1 << 16,
     spp_cap: int | None = None,
+    with_physical: bool = False,
 ):
     """Build a jitted sharded path-regeneration renderer.
 
@@ -72,6 +73,9 @@ def make_regen_sharded(
     shard runs its own pre-pass over its interleaved pixel subset (the
     pre-pass takes the shard's (offset, stride) so per-pixel streams stay
     global) and a seed-mode loop. None keeps the plain regen loop.
+
+    ``with_physical=True`` returns a third output: the psum'd PHYSICALLY
+    traced ray count (== logical unless the cache served primaries).
     """
     from monte_carlo_path_tracing_tpu.integrator.regen import (
         primary_cache_eligible, render_regen, render_regen_cached,
@@ -97,21 +101,27 @@ def make_regen_sharded(
         # render_regen — no per-device key fold — so the image is invariant
         # to the device count (tests/test_parallel.py pins 1- vs N-device).
         if use_cache:
-            fb, nrays, _, _ = render_regen_cached(
+            fb, nrays, _, stats = render_regen_cached(
                 sc, cfg, key, local, spp_cap, spp,
                 lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
             )
+            nphys = stats.rays_physical
         else:
             fb, nrays, _, _ = render_regen(
                 sc, cfg, key, local, local * spp,
                 lanes=lanes_per_device, pixel_offset=d, pixel_stride=nd,
             )
-        return fb, jax.lax.psum(nrays, AXIS_TILES)
+            nphys = nrays
+        out = (fb, jax.lax.psum(nrays, AXIS_TILES))
+        if with_physical:
+            out = out + (jax.lax.psum(nphys, AXIS_TILES),)
+        return out
 
+    out_specs = (P(AXIS_TILES), P()) + ((P(),) if with_physical else ())
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(AXIS_TILES), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)

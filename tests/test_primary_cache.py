@@ -33,7 +33,7 @@ def _small(scene):
     )
 
 
-@pytest.mark.parametrize("estimator", ["mis", "brdf"])
+@pytest.mark.parametrize("estimator", ["mis", "brdf", "split"])
 def test_cached_matches_uncached(cornell_scene, estimator):
     """Same streams by construction => same estimate (up to fp ordering of
     the per-pixel sums) and IDENTICAL logical ray counts."""
@@ -82,7 +82,9 @@ def test_eligibility_validation():
     with pytest.raises(ValueError):
         _cfg(pixel_jitter=True).replace(primary_cache=True).validate()
     with pytest.raises(ValueError):
-        _cfg(estimator="split").replace(primary_cache=True).validate()
+        _cfg(ref_mis_weights=True, mis_blocker_compat=True).replace(
+            primary_cache=True).validate()
+    _cfg(estimator="split").replace(primary_cache=True).validate()
     # auto mode silently falls back for ineligible configs
     _cfg(pixel_jitter=True).validate()
 
