@@ -10,8 +10,11 @@ lowering bugs (interpret mode was correct), so this script runs the REAL
 kernels on the device and checks hit agreement against intersect_matmul.
 
 Disagreements are only allowed where both impls report the same t (exact
-shared-edge ties — argmin order differs) or where the accept margin is
-within the documented mxu_fast fringe (~1e-4 relative).
+shared-edge ties — argmin order differs) or where either pick's EXACT
+accept margin is grazing (within ~1e-4 of |det| — the documented mxu_fast
+accept-flip fringe: a ~1e-5-relative coefficient error can flip an accept
+whose margin is that small, and the replacement hit may be arbitrarily
+far behind).
 
 Writes docs/tpu_kernel_parity.json; exits 1 on failure.
 """
@@ -28,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from monte_carlo_path_tracing_tpu.integrator.regen import _primary_dirs
-from monte_carlo_path_tracing_tpu.ops import intersect as ops_intersect
+from monte_carlo_path_tracing_tpu.ops import intersect as ops_intersect, intersect_ref
 from monte_carlo_path_tracing_tpu.render.camera import camera_basis, pixel_len
 from monte_carlo_path_tracing_tpu.scene import load_scene
 
@@ -60,8 +63,26 @@ def check_scene(path, res=(96, 64)):
         # shared-edge ties: same t, different (coplanar) triangle
         tie = dis & (np.abs(ttm - ttp) <= 1e-6 * np.maximum(ttm, 1.0))
         real = dis & ~tie
-        # mxu_fast fringe: t within ~1e-4 relative (bf16x3 noise)
-        fringe = real & (np.abs(ttm - ttp) <= 2e-4 * np.maximum(ttm, 1.0))
+        # Grazing-accept fringe: evaluate the EXACT margin of both picks;
+        # a pick whose (u, v, 1-u-v, t) accept margin is within 1e-4 of
+        # |det| can flip under mxu_fast's ~1e-5-relative coefficient noise.
+        g64 = np.asarray(
+            intersect_ref.ray_features(ro, rd)).astype(np.float64)
+        ids_np = np.asarray(accel.tri_ids)
+        W64 = np.asarray(accel.W).astype(np.float64)
+        pos_of = {int(t): i for i, t in enumerate(ids_np)}
+
+        def rel_margin(ray, tri):
+            det, un, vn, tn = g64[ray] @ W64[pos_of[int(tri)]]
+            s = np.sign(det) or 1.0
+            adet = det * s
+            m = min(un * s, vn * s, adet - (un + vn) * s, tn * s)
+            return m / max(adet, 1e-300)
+
+        fringe = np.zeros_like(real)
+        for ray in np.where(real)[0]:
+            if min(rel_margin(ray, tm[ray]), rel_margin(ray, tp_[ray])) <= 1e-4:
+                fringe[ray] = True
         bad = int((real & ~fringe).sum())
         out[mode] = {
             "rays": int(n),
@@ -92,8 +113,9 @@ def main():
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     report = {"device": str(jax.devices()[0]), "scenes": {}}
     ok = True
-    for name in ("cornell", "veach-mis"):
-        path = os.path.join(here, "scenes", name, f"{name}.obj")
+    for name in ("cornell", "veach-mis", "bathroom"):
+        obj = "veach-mis" if "veach" in name else name
+        path = os.path.join(here, "scenes", name, f"{obj}.obj")
         r = check_scene(path)
         report["scenes"][name] = r
         for mode, row in r.items():
