@@ -107,7 +107,7 @@ def main() -> None:
     n_dev = len(jax.devices())
     total_samples = n_pix * spp
 
-    rep_secs = []
+    rep_secs, calib_secs, rep_tenancy, headline_phase = [], [], [], "n/a"
     if n_dev > 1:
         # Pod slice: pixels sharded over all chips, one regen loop each
         # (parallel/sharded.py). Metric stays per-chip.
@@ -173,19 +173,52 @@ def main() -> None:
         # async artifact; all rep times are reported in the extra line.
         # The slow phases last minutes, so reps are SPACED: back-to-back
         # reps all land in the same phase, spaced ones straddle it.
+        #
+        # Tenancy calibration (round-5): a fixed-work matmul chain (~0.5
+        # TFLOP, renderer-independent) is timed to host materialization
+        # immediately before each rep and after the last, so each rep is
+        # BRACKETED by two device-speed probes. A rep whose brackets run
+        # >1.5x the session-best probe is tagged "slow" — distinguishing a
+        # tenancy phase from a code regression inside the artifact itself.
+        calib_a = jnp.full((2048, 2048), 1e-3, jnp.float32)
+
+        @jax.jit
+        def _calib_fn(a):
+            return jax.lax.fori_loop(
+                0, 32, lambda _, x: 1e-3 * (x @ calib_a), a
+            )
+
+        np.asarray(_calib_fn(calib_a))  # warm/compile
+
+        def calibrate():
+            t0 = time.perf_counter()
+            np.asarray(_calib_fn(calib_a))
+            return time.perf_counter() - t0
+
         reps = int(os.environ.get("BENCH_REPS", "4"))
         spacing = float(os.environ.get("BENCH_REP_SPACING_S", "45"))
         rep_secs = []
+        calib_secs = [calibrate()]
         for i in range(reps):
             if i:
                 time.sleep(spacing)
+                calib_secs.append(calibrate())
             t0 = time.perf_counter()
             fb, nrays, iters, stats = run_jit(scene, key, timed_arg)
             checksum = float(np.asarray(fb).sum())
             total_rays = int(nrays)
             rays_physical = int(stats.rays_physical) or total_rays
             rep_secs.append(time.perf_counter() - t0)
+        calib_secs.append(calibrate())
         dt = min(rep_secs)
+        calib_best = min(calib_secs)
+        # rep i is bracketed by calib_secs[i] and calib_secs[i+1]
+        rep_tenancy = [
+            "slow" if min(calib_secs[i], calib_secs[i + 1]) > 1.5 * calib_best
+            else "fast"
+            for i in range(reps)
+        ]
+        headline_phase = rep_tenancy[int(np.argmin(rep_secs))]
 
     if not np.isfinite(checksum) or checksum <= 0.0:
         print(f"FATAL: framebuffer checksum {checksum} is not a positive "
@@ -219,13 +252,21 @@ def main() -> None:
         "seconds": round(dt, 3),
         "seconds_median": round(float(np.median(rep_secs)), 3) if rep_secs else round(dt, 3),
         "rep_seconds": [round(s, 3) for s in rep_secs],
+        # per-rep tenancy tag from the bracketing calibration probes
+        # (fixed-work matmul chain; "slow" = both brackets >1.5x session
+        # best) and the phase the headline (best) rep came from.
+        "rep_tenancy": rep_tenancy if rep_secs else [],
+        "calib_seconds": [round(s, 4) for s in calib_secs] if rep_secs else [],
+        "headline_phase": headline_phase if rep_secs else "n/a",
         "paths_per_s": round(paths_per_s, 1),
         # rays = LOGICAL estimator ray count (primary counted per sample);
         # rays_physical counts the primary once per pixel when the
         # primary-hit cache served it (integrator/regen.py round 4).
         "rays_per_path": round(total_rays / paths, 3),
         "total_rays": total_rays,
-        "rays_physical": int(rays_physical) if n_dev == 1 else total_rays,
+        "rays_physical": int(rays_physical),
+        # physical-work throughput alongside the equal-work headline
+        "mrays_physical": round(rays_physical / dt / 1e6 / n_dev, 4),
         "fb_checksum": checksum,
     }
     print(json.dumps(result))

@@ -73,7 +73,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--primary-cache", default=None, action="store_true",
                    help="cache per-pixel primary hits + depth-0 Arvo "
                         "prepare across spp (default auto: on when "
-                        "eligible — no jitter, mis/brdf, no blocker)")
+                        "eligible — no jitter, mis/brdf/split, no blocker)")
     p.add_argument("--no-primary-cache", dest="primary_cache",
                    action="store_false")
     p.add_argument("--ray-sort", action="store_true",

@@ -179,7 +179,11 @@ def primary_prepass(
     the uncached renderer); nrays_physical counts it once per PIXEL (what
     the hardware actually traced).
     """
-    spp_rounds = jnp.asarray(spp_rounds, jnp.int32)
+    # Clamp to the static cap: seed buffers and the r_ids iota only span
+    # [0, spp_cap), so rounds beyond the cap would be silently dropped while
+    # still counted in nrays_logical (round-4 advisor finding). Callers that
+    # statically know spp > spp_cap get a raise in make_regen_sharded.
+    spp_rounds = jnp.minimum(jnp.asarray(spp_rounds, jnp.int32), spp_cap)
     accel = ops_intersect.build_accel(scene)
     light_accel = (
         ops_intersect.build_light_accel(scene) if cfg.ref_mis_weights else None

@@ -91,6 +91,14 @@ def make_regen_sharded(
         cfg.primary_cache if cfg.primary_cache is not None
         else primary_cache_eligible(cfg)
     )
+    if use_cache and cfg.spp > spp_cap:
+        # primary_prepass clamps traced rounds to the static cap; a launch
+        # whose intended spp exceeds it would silently under-sample.
+        raise ValueError(
+            f"cfg.spp={cfg.spp} exceeds spp_cap={spp_cap}: the primary-cache "
+            "pre-pass sizes its seed buffers by spp_cap and clamps the "
+            "traced round count to it"
+        )
 
     def shard_fn(sc, key, spp):
         d = jax.lax.axis_index(AXIS_TILES)

@@ -159,7 +159,8 @@ class RenderConfig:
 
             if not primary_cache_eligible(self):
                 raise ValueError(
-                    "primary_cache=True requires estimator in ('mis','brdf'), "
-                    "pixel_jitter=False and mis_blocker_compat=False (the "
-                    "depth-0 work must be per-pixel deterministic)"
+                    "primary_cache=True requires estimator in "
+                    "('mis','brdf','split'), pixel_jitter=False and "
+                    "mis_blocker_compat=False (the depth-0 work must be "
+                    "per-pixel deterministic)"
                 )
