@@ -50,6 +50,28 @@ _SG = jax.lax.stop_gradient
 # this tag, so chain streams are disjoint from every launch's real streams.
 _CHAIN_TAG = 0x5EED_CA1  # arbitrary 32-bit constant
 
+# Profiling hook (scripts/tpu_prepass_profile.py): a set of stage names
+# nulled out of primary_prepass at TRACE time, so each stage's in-context
+# end-to-end cost is the timing delta of a full prepass with the knob on
+# (standalone per-op microbenches are tunnel-inflated on this platform —
+# docs/ARCHITECTURE.md). Results are garbage with any knob set; production
+# code never touches this. Knobs: noprimary, noprepare, norngsetup,
+# noargsort, nogather, nopick, nowarp, noshadow, nonee, nobrdf, noseeds,
+# nofb.
+_ABLATE: frozenset = frozenset()
+
+
+def _bcast1(a, k):
+    """broadcast row 0 of ``a`` to K rows (gather-free stand-in)."""
+    return jnp.broadcast_to(a[:1], (k,) + a.shape[1:])
+
+
+def _spread5_pp(x):  # 5 bits -> every 3rd bit of 15
+    x = (x | (x << 8)) & 0x0100F
+    x = (x | (x << 4)) & 0x010C3
+    x = (x | (x << 2)) & 0x09249
+    return x
+
 
 class RegenStats(NamedTuple):
     """Scalar diagnostics of one regen launch (4th element of the return).
@@ -155,8 +177,10 @@ def primary_prepass(
     sample) densely for all ``spp_rounds`` samples, emitting:
 
       - ``fb_pre [n_pix, 3]``: all depth-0 radiance (emission + NEE terms),
-      - ``cache_f [n_pix, 7]`` = (p, ns, wsum) and ``cache_tri [n_pix]``:
-        what a regenerated lane needs to resume at depth 1,
+      - ``cache_f`` = 7-tuple of [n_pix] arrays (p, ns, wsum) and
+        ``cache_tri [n_pix]``: what a regenerated lane needs to resume at
+        depth 1 (1-D components — lane-padded 2-D layouts are avoided,
+        docs/tpu_prepass_profile.json),
       - ``seeds``: compacted continuation records (sample id, wi, tp, pdf)
         for every sample whose path survives the primary vertex — the
         regeneration loop (``render_regen(seed_mode=...)``) pulls these
@@ -200,6 +224,16 @@ def primary_prepass(
     # (ops/intersect.py::CULL_CHUNK_TRIS) covers any triangle count.
     cull_co = True
 
+    # Scene bounds for the experimental shadow-batch morton sort (knob).
+    if getattr(accel, "aabb_lo", None) is not None:
+        _flo = jnp.where(jnp.isfinite(accel.aabb_lo), accel.aabb_lo, jnp.inf)
+        _fhi = jnp.where(jnp.isfinite(accel.aabb_hi), accel.aabb_hi, -jnp.inf)
+        scene_lo_pp = jnp.min(_flo, axis=0)
+        scene_inv_pp = 1.0 / jnp.maximum(
+            jnp.max(_fhi, axis=0) - scene_lo_pp, 1e-20)
+    else:
+        scene_lo_pp, scene_inv_pp = jnp.zeros((3,)), jnp.ones((3,))
+
     # Flattened per-chunk batch is chunk * spp_cap samples; clamp so it
     # stays ~256k rows whatever the launch's spp is.
     chunk = min(pix_chunk, n_pix, max(4096, (1 << 18) // max(spp_cap, 1)))
@@ -210,11 +244,19 @@ def primary_prepass(
     S = R * chunk
 
     fb_pre = jnp.zeros((n_chunks * chunk, 3))
-    cache_f = jnp.zeros((n_chunks * chunk, 7))
+    # Per-pixel resume cache (p, ns, wsum) as SEVEN 1-D arrays — same
+    # layout rationale as the seed buffers below.
+    cache_f = tuple(jnp.zeros((n_chunks * chunk,)) for _ in range(7))
     cache_tri = jnp.full((n_chunks * chunk,), ops_intersect.NO_HIT, jnp.int32)
-    # +1 sink row for masked scatter writes
+    # Seed record = (sample id, wi, tp, pdf) stored as EIGHT 1-D arrays
+    # (+1 sink row each for masked scatter writes): a single [total+1, 7]
+    # array gets the lane-padded T(8,128) layout (7 -> 128 lanes) and its
+    # row scatter was measured at ~0.59 s of the spp-8 prepass
+    # (docs/tpu_prepass_profile.json "noseeds"); per-component 1-D scalar
+    # scatters avoid the padding entirely — the same trick as the regen
+    # loop's per-channel framebuffer scatter.
     seeds_sample = jnp.zeros((total + 1,), jnp.int32)
-    seeds_f = jnp.zeros((total + 1, 7))
+    seeds_f = tuple(jnp.zeros((total + 1,)) for _ in range(7))
 
     def chunk_body(c, carry):
         fb_pre, cache_f, cache_tri, seeds_sample, seeds_f, count, nsh = carry
@@ -225,10 +267,20 @@ def primary_prepass(
         # Camera fans are naturally coherent: the tri-tile culling bites
         # without any lane sort (chunked composition handles any T,
         # ops/intersect.py::CULL_CHUNK_TRIS).
-        hit = ops_intersect.intersect(
-            accel, ro, rd, jnp.full((chunk,), ops_intersect.NO_HIT, jnp.int32),
-            impl=_impl(cfg), mode=cfg.dot_mode, cull=cull_co,
-        )
+        if "noprimary" in _ABLATE:  # profiling hook — see _ABLATE
+            from monte_carlo_path_tracing_tpu.ops.intersect_ref import Hit
+
+            hit = Hit(
+                t=jnp.ones((chunk,)), tri_id=jnp.zeros((chunk,), jnp.int32),
+                u=jnp.full((chunk,), 0.3), v=jnp.full((chunk,), 0.3),
+                valid=jnp.ones((chunk,), bool),
+            )
+        else:
+            hit = ops_intersect.intersect(
+                accel, ro, rd,
+                jnp.full((chunk,), ops_intersect.NO_HIT, jnp.int32),
+                impl=_impl(cfg), mode=cfg.dot_mode, cull=cull_co,
+            )
         si = common.gather_interaction(scene, hit, rd, tri_to_light)
         hitok = valid_pix & hit.valid & si.front
 
@@ -242,12 +294,26 @@ def primary_prepass(
         shade0 = hitok & ~si.is_light
 
         if (is_mis or is_split) and spherical:
-            weights, wsum = light_spherical.prepare(scene, si.p, si.ns)
+            if "noprepare" in _ABLATE:  # profiling hook
+                weights = jnp.ones((chunk, scene.num_lights))
+                wsum = jnp.sum(weights, axis=-1)
+            else:
+                weights, wsum = light_spherical.prepare(scene, si.p, si.ns)
             cdf = jnp.cumsum(weights, axis=-1)            # [chunk, L]
             n_lights = weights.shape[-1]
         else:
             wsum = jnp.zeros((chunk,))
             cdf = None
+
+        # Packed per-pixel stage table: the per-sample stage gathers ONE
+        # 17-wide row per sample instead of ~10 separate field rows —
+        # separate row gathers cost ~0.5 s of the spp-8 prepass
+        # (docs/tpu_prepass_profile.json "nogather").
+        stage_tab = jnp.concatenate(
+            [si.p, si.ns, si.wo, si.kd, si.ks, si.ns_exp[:, None],
+             wsum[:, None]],
+            axis=1,
+        )
 
         # ---- all spp rounds of this chunk flattened into ONE [S] batch ----
         # Flatten order is row-major (round, pixel); rounds beyond the
@@ -260,12 +326,40 @@ def primary_prepass(
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (R, chunk), 0)
         r_live = (r_ids < spp_rounds).reshape(S)
         sample_all = (r_ids * n_pix + pix_local[None, :]).reshape(S)
-        k_r = rng.fold_in(base_key, spp0 + jnp.arange(R, dtype=jnp.int32))
-        lk = jax.vmap(lambda k: rng.fold_in(k, gpix))(k_r).reshape(S)
-        lk0 = rng.fold_in(lk, 0)
+        if "norngsetup" in _ABLATE:  # profiling hook
+            lk0 = _bcast1(rng.fold_in(base_key, jnp.zeros((1,), jnp.int32)), S)
+            xi_rr = jnp.full((S,), 0.3)
+        else:
+            k_r = rng.fold_in(base_key, spp0 + jnp.arange(R, dtype=jnp.int32))
+            lk = jax.vmap(lambda k: rng.fold_in(k, gpix))(k_r).reshape(S)
+            lk0 = rng.fold_in(lk, 0)
 
-        xi_rr = rng.uniform(rng.fold_in(lk0, rng.P_RR), (S,))
+            xi_rr = rng.uniform(rng.fold_in(lk0, rng.P_RR), (S,))
         survive = xi_rr < cfg.rr_prob
+
+        # Dense light pick (mis/split + spherical): the inverse-CDF pick
+        # runs over ALL (round, pixel) pairs with the [chunk, L] CDF
+        # broadcast along rounds — the compacted stage then gathers only
+        # the 1-D pick result instead of an L-wide CDF row per sample
+        # (L=320 on veach: that per-sample gather was most of "nogather"'s
+        # cost, docs/tpu_prepass_profile.json). Streams identical: u is
+        # the same fold(fold(lk0, P_LIGHT_SELECT), 0) draw the stage
+        # previously made per survivor.
+        if (is_mis or is_split) and spherical and "nopick" not in _ABLATE:
+            k_sel_d = rng.fold_in(rng.fold_in(lk0, rng.P_LIGHT_SELECT), 0)
+            u_d = rng.uniform(k_sel_d, (S,))
+            thresh_d = u_d.reshape(R, chunk) * wsum[None, :]
+            lidx_d = jnp.minimum(
+                jnp.sum(
+                    (cdf[None, :, :] <= thresh_d[:, :, None]).astype(
+                        jnp.int32
+                    ),
+                    -1,
+                ),
+                n_lights - 1,
+            ).reshape(S)
+        else:
+            lidx_d = None
         # mis: RR gates BOTH strategies (main.cpp:429-437); brdf: gates the
         # continuation (the only depth-0 work besides emission); split: the
         # direct term runs for every primary-hit sample and RR gates only
@@ -280,7 +374,10 @@ def primary_prepass(
         # seed order is identical to the uncompacted formulation. (A
         # cumsum+scatter counting sort was measured at parity with argsort
         # here — the scatter's irregular writes cost what the sort saves.)
-        order = jnp.argsort(~part_mask, stable=True)
+        if "noargsort" in _ABLATE:  # profiling hook
+            order = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+        else:
+            order = jnp.argsort(~part_mask, stable=True)
         n_live = jnp.sum(part_mask.astype(jnp.int32))
         # Survivor count is ~rr_prob * hit_fraction * S; the prefix covers
         # rr_prob + 2.5% which a Binomial(S, rr_prob) essentially never
@@ -297,21 +394,30 @@ def primary_prepass(
             own stream key — values are identical to the unpacked form."""
             live = part_mask[rows]
             pix = rows % chunk                           # flat = r*chunk + pix
-            lk0_c = lk0[rows]
-            si_c = jax.tree_util.tree_map(lambda a: a[pix], si)
-            wsum_c = wsum[pix]
+            K = rows.shape[0]
+            if "nogather" in _ABLATE:  # profiling hook
+                tab = _bcast1(stage_tab, K)
+                tri_c = _bcast1(si.tri_id, K)
+                lk0_c = _bcast1(lk0, K)
+            else:
+                tab = stage_tab[pix]
+                tri_c = si.tri_id[pix]
+                lk0_c = lk0[rows]
+            si_c = common.SurfaceInteraction(
+                p=tab[:, 0:3], ns=tab[:, 3:6], wo=tab[:, 6:9],
+                kd=tab[:, 9:12], ks=tab[:, 12:15], ns_exp=tab[:, 15],
+                # fields the depth-0 stage never reads (hit/emitter gating
+                # happened per pixel before flattening) — cheap stand-ins
+                ng=tab[:, 3:6], emission=tab[:, 0:3],
+                is_light=jnp.zeros((K,), bool), front=jnp.ones((K,), bool),
+                tri_id=tri_c, light_idx=tri_c,
+            )
+            wsum_c = tab[:, 16]
 
             if is_split:
                 kstep = rng.fold_in(lk0_c, rng.P_LIGHT_SELECT)
                 if spherical:
-                    u = rng.uniform(rng.fold_in(kstep, 0), (rows.shape[0],))
-                    thresh = u * wsum_c
-                    lidx = jnp.minimum(
-                        jnp.sum(
-                            (cdf[pix] <= thresh[:, None]).astype(jnp.int32), -1
-                        ),
-                        n_lights - 1,
-                    )
+                    lidx = lidx_d[rows]
                     ls = light_spherical.sample_from_pick(
                         rng.fold_in(kstep, 1), scene, si_c.p, si_c.ns,
                         lidx, wsum_c,
@@ -326,27 +432,42 @@ def primary_prepass(
                 direct = _direct_term(
                     scene, cfg, accel, si_c, ls, live, 0, kstep, cull=cull_co
                 )
-                fb_acc = fb_acc.at[pix].add(
-                    jnp.where(live[:, None], direct, 0.0)
+                dz = jnp.where(live[:, None], direct, 0.0)
+                # per-channel 1-D scatters — the [chunk,3] row scatter pays
+                # the lane-padded layout tax (see the regen loop's fb write)
+                fb_acc = tuple(
+                    f.at[pix].add(dz[:, i]) for i, f in enumerate(fb_acc)
                 )
                 live = live & survive[rows]   # RR gates only the bounce
 
-            if is_mis:
+            if is_mis and "nonee" not in _ABLATE:
                 kstep = rng.fold_in(lk0_c, rng.P_LIGHT_SELECT)
                 if spherical:
-                    u = rng.uniform(rng.fold_in(kstep, 0), (rows.shape[0],))
-                    # rng.pick_weighted semantics against the cached CDF
-                    thresh = u * wsum_c
-                    lidx = jnp.minimum(
-                        jnp.sum(
-                            (cdf[pix] <= thresh[:, None]).astype(jnp.int32), -1
-                        ),
-                        n_lights - 1,
-                    )
-                    ls = light_spherical.sample_from_pick(
-                        rng.fold_in(kstep, 1), scene, si_c.p, si_c.ns,
-                        lidx, wsum_c,
-                    )
+                    # rng.pick_weighted semantics against the cached CDF,
+                    # picked DENSELY before compaction (lidx_d above)
+                    if "nopick" in _ABLATE:  # profiling hook
+                        lidx = jnp.zeros((K,), jnp.int32)
+                    else:
+                        lidx = lidx_d[rows]
+                    if "nowarp" in _ABLATE:  # profiling hook
+                        from monte_carlo_path_tracing_tpu.sampling.light_uniform import (
+                            LightSample,
+                        )
+
+                        ls = LightSample(
+                            coord=si_c.p + 1.0, light_idx=lidx,
+                            tri_id=jnp.zeros((K,), jnp.int32),
+                            emission=jnp.ones((K, 3)), pdf=jnp.ones((K,)),
+                            valid=jnp.ones((K,), bool),
+                            nl=jnp.broadcast_to(
+                                jnp.array([0.0, -1.0, 0.0]), (K, 3)
+                            ),
+                        )
+                    else:
+                        ls = light_spherical.sample_from_pick(
+                            rng.fold_in(kstep, 1), scene, si_c.p, si_c.ns,
+                            lidx, wsum_c,
+                        )
                 else:
                     ls = light_uniform.sample(kstep, scene, rows.shape[0])
                 nsh = nsh + jnp.sum(live.astype(jnp.float32))
@@ -354,18 +475,66 @@ def primary_prepass(
                 # here: directions tighten but each ray tile's ORIGIN box
                 # still spans the whole visible scene, so the cull masks
                 # stay dense and the sort is pure overhead.)
+                if "noshadow" in _ABLATE:
+                    blocked = jnp.zeros((K,), bool)
+                elif "shadowsort" in _ABLATE:
+                    # EXPERIMENT (profiling knob): trace the shadow batch in
+                    # (picked light, origin-morton) order so each kernel ray
+                    # tile sees ONE light and a compact origin box — the
+                    # earlier picked-light-only sort left the origin box
+                    # spanning the scene. Permutation-invariant result.
+                    wl_raw = ls.coord - si_c.p
+                    dist_s = jnp.sqrt(jnp.maximum(
+                        jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20))
+                    wl_s = wl_raw / dist_s[:, None]
+                    q = jnp.clip(
+                        ((si_c.p - scene_lo_pp) * scene_inv_pp * 31.0
+                         ).astype(jnp.int32), 0, 31)
+                    mort = (_spread5_pp(q[:, 0]) | (_spread5_pp(q[:, 1]) << 1)
+                            | (_spread5_pp(q[:, 2]) << 2))
+                    skey = jnp.where(
+                        live, (lidx << 15) | mort, (1 << 30) - 1)
+                    ord2 = jnp.argsort(skey)
+                    from monte_carlo_path_tracing_tpu.ops.intersect import (
+                        OCCLUSION_MARGIN,
+                    )
+
+                    bl_s = ops_intersect.occluded(
+                        accel, si_c.p[ord2], wl_s[ord2], dist_s[ord2],
+                        si_c.tri_id[ord2], impl=_impl(cfg),
+                        mode=cfg.dot_mode, cull=cull_co,
+                    )
+                    inv2 = jnp.zeros((K,), jnp.int32).at[ord2].set(
+                        jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0])
+                    blocked = bl_s[inv2]
+                else:
+                    blocked = None
                 nee = _nee_term(
-                    scene, cfg, accel, si_c, ls, wsum_c, live, cull=cull_co
+                    scene, cfg, accel, si_c, ls, wsum_c, live,
+                    cull=(None if "shadowcull_off" in _ABLATE else cull_co),
+                    blocked=blocked,
+                    shadow_mode=(
+                        "mxu_bf16" if "shadowbf16" in _ABLATE else None
+                    ),
                 )
-                fb_acc = fb_acc.at[pix].add(
-                    jnp.where(live[:, None], w_rr * nee, 0.0)
-                )
+                if "nofb" not in _ABLATE:
+                    nz = jnp.where(live[:, None], w_rr * nee, 0.0)
+                    fb_acc = tuple(
+                        f.at[pix].add(nz[:, i]) for i, f in enumerate(fb_acc)
+                    )
 
             kb = rng.fold_in(lk0_c, rng.P_BSDF)
-            bs = phong.sample_brdf(
-                kb, si_c.ns, si_c.wo, si_c.kd, si_c.ks, si_c.ns_exp,
-                branch_pdf_compat=cfg.branch_pdf_compat,
-            )
+            if "nobrdf" in _ABLATE:  # profiling hook
+                import types as _types
+
+                bs = _types.SimpleNamespace(
+                    wi=si_c.ns, pdf=jnp.ones((K,)),
+                )
+            else:
+                bs = phong.sample_brdf(
+                    kb, si_c.ns, si_c.wo, si_c.kd, si_c.ks, si_c.ns_exp,
+                    branch_pdf_compat=cfg.branch_pdf_compat,
+                )
             cos_i = vm.dot(bs.wi, si_c.ns)
             cont = live & (cos_i > 0.0) & (bs.pdf > 1e-12)
 
@@ -397,21 +566,28 @@ def primary_prepass(
                     )
                 denom = _SG(jnp.maximum(bs.pdf + p_al, 1e-12))
 
-            f = phong.eval_brdf(
-                si_c.ns, bs.wi, si_c.wo, si_c.kd, si_c.ks, si_c.ns_exp
-            )
+            if "nobrdf" in _ABLATE:
+                f = jnp.ones((K, 3))
+            else:
+                f = phong.eval_brdf(
+                    si_c.ns, bs.wi, si_c.wo, si_c.kd, si_c.ks, si_c.ns_exp
+                )
             tp_next = f * (jnp.maximum(cos_i, 0.0) / denom * w_rr)[:, None]
 
             rank = jnp.cumsum(cont.astype(jnp.int32)) - 1
             slot = jnp.where(cont, count + rank, total)
-            seeds_sample = seeds_sample.at[slot].set(sample_all[rows])
-            seeds_f = seeds_f.at[slot].set(
-                jnp.concatenate([bs.wi, tp_next, _SG(bs.pdf)[:, None]], axis=1)
-            )
+            if "noseeds" not in _ABLATE:
+                seeds_sample = seeds_sample.at[slot].set(sample_all[rows])
+                svals = (bs.wi[:, 0], bs.wi[:, 1], bs.wi[:, 2],
+                         tp_next[:, 0], tp_next[:, 1], tp_next[:, 2],
+                         _SG(bs.pdf))
+                seeds_f = tuple(
+                    sf.at[slot].set(v) for sf, v in zip(seeds_f, svals)
+                )
             count = count + jnp.sum(cont.astype(jnp.int32))
             return fb_acc, seeds_sample, seeds_f, count, nsh
 
-        fb_acc = jnp.zeros((chunk, 3))
+        fb_acc = tuple(jnp.zeros((chunk,)) for _ in range(3))
         fb_acc, seeds_sample, seeds_f, count, nsh = stage(
             order[:P], fb_acc, seeds_sample, seeds_f, count, nsh
         )
@@ -427,13 +603,14 @@ def primary_prepass(
         fb_pre = jax.lax.dynamic_update_slice(
             fb_pre,
             jax.lax.dynamic_slice(fb_pre, (c * chunk, 0), (chunk, 3))
-            + fb_acc + em_add,
+            + jnp.stack(fb_acc, axis=1) + em_add,
             (c * chunk, 0),
         )
-        cache_f = jax.lax.dynamic_update_slice(
-            cache_f,
-            jnp.concatenate([si.p, si.ns, wsum[:, None]], axis=1),
-            (c * chunk, 0),
+        cvals = (si.p[:, 0], si.p[:, 1], si.p[:, 2],
+                 si.ns[:, 0], si.ns[:, 1], si.ns[:, 2], wsum)
+        cache_f = tuple(
+            jax.lax.dynamic_update_slice(cf, v, (c * chunk,))
+            for cf, v in zip(cache_f, cvals)
         )
         cache_tri = jax.lax.dynamic_update_slice(
             cache_tri, hit.tri_id, (c * chunk,)
@@ -450,7 +627,8 @@ def primary_prepass(
     nrays_logical = spp_rounds.astype(jnp.float32) * n_pix + n_shadow
     nrays_physical = jnp.float32(n_pix) + n_shadow
     return (
-        fb_pre[:n_pix], cache_f[:n_pix], cache_tri[:n_pix],
+        fb_pre[:n_pix], tuple(cf[:n_pix] for cf in cache_f),
+        cache_tri[:n_pix],
         seeds_sample, seeds_f, seed_count, nrays_logical, nrays_physical,
     )
 
@@ -521,8 +699,9 @@ def render_regen(
 
     ``seed_mode`` (set by :func:`render_regen_cached`) switches the sample
     source from camera rays to the primary pre-pass's continuation seeds:
-    a 5-tuple (seeds_sample, seeds_f, cache_f, cache_tri, fb_pre). Free
-    lanes then pull seed records (resuming at depth 1 with the cached
+    a 5-tuple (seeds_sample, seeds_f, cache_f, cache_tri, fb_pre), where
+    seeds_f and cache_f are 7-tuples of 1-D arrays (see primary_prepass).
+    Free lanes then pull seed records (resuming at depth 1 with the cached
     per-pixel interaction) and ``total_samples`` is the seed count."""
     seeded = seed_mode is not None
     if seeded:
@@ -874,12 +1053,16 @@ def render_regen(
             sidx = jnp.clip(new_sample, 0, seeds_sample.shape[0] - 1)
             s_val = seeds_sample[sidx]
             pixel_new = (s_val % n_pix).astype(jnp.int32)
-            crec = cache_f[pixel_new]                 # (p, ns, wsum)
-            sf = seeds_f[sidx]                        # (wi, tp, pdf)
-            ro_new, ns_new = crec[:, 0:3], crec[:, 3:6]
-            wsum_new = crec[:, 6]
-            rd_new, tp_new = sf[:, 0:3], sf[:, 3:6]
-            pb_new = sf[:, 6]
+            # per-component 1-D gathers (cache/seed buffers are tuples of
+            # 1-D arrays — see primary_prepass's layout note)
+            cf = [c[pixel_new] for c in cache_f]      # (p, ns, wsum)
+            sf = [s[sidx] for s in seeds_f]           # (wi, tp, pdf)
+            ro_new = jnp.stack(cf[0:3], axis=1)
+            ns_new = jnp.stack(cf[3:6], axis=1)
+            wsum_new = cf[6]
+            rd_new = jnp.stack(sf[0:3], axis=1)
+            tp_new = jnp.stack(sf[3:6], axis=1)
+            pb_new = sf[6]
             excl_new = cache_tri[pixel_new]
             sample_new = s_val
             depth_new = jnp.ones((C,), jnp.int32)

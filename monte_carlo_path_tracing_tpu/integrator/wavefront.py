@@ -305,13 +305,17 @@ def _light_pdf_of_hit(scene, cfg, si, prev_p, prev_ns, prev_wsum):
     return jnp.where(si.light_idx >= 0, pdf, 0.0)
 
 
-def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None, blocked=None):
+def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None, blocked=None,
+              shadow_mode=None):
     """MIS light strategy as NEE (main.cpp:443-464 restructured per Q11):
     contribution = I * f * cos / (p_light + p_brdf), both solid-angle.
     ``cull`` forwards to the occlusion kernel (the primary pre-pass passes
     True — its shadow batches are pixel-ordered, hence coherent); a caller
     that already traced the shadow rays (e.g. in light-sorted order, see
-    integrator/regen.py's pre-pass) passes ``blocked`` instead."""
+    integrator/regen.py's pre-pass) passes ``blocked`` instead.
+    ``shadow_mode`` overrides the occlusion kernel's dot mode (the any-hit
+    predicate tolerates coarser arithmetic than nearest-winner selection —
+    see utils/config.py::shadow_dot_mode)."""
     wl_raw = ls.coord - si.p
     dist2 = jnp.maximum(jnp.sum(wl_raw * wl_raw, axis=-1), 1e-20)
     dist = jnp.sqrt(dist2)
@@ -324,7 +328,7 @@ def _nee_term(scene, cfg, accel, si, ls, wsum, alive, cull=None, blocked=None):
     if blocked is None:
         blocked = ops_intersect.occluded(
             accel, si.p, wl, dist, si.tri_id, impl=_impl(cfg),
-            mode=cfg.dot_mode, cull=cull,
+            mode=shadow_mode or cfg.dot_mode, cull=cull,
         )
     visible = ok & ~blocked
 
