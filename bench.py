@@ -91,10 +91,15 @@ def main() -> None:
     scene = dataclasses.replace(
         scene, camera=dataclasses.replace(scene.camera, width=res, height=res)
     )
+    # BENCH_JITTER=1: sub-pixel AA jitter on — the primary-hit cache is
+    # ineligible by definition (per-pixel primary dedup is exactly what
+    # jitter forfeits), so this row runs the plain regen loop. Committed
+    # as the jitter-on capability row (VERDICT r4 item 6).
+    jitter = os.environ.get("BENCH_JITTER", "0") == "1"
     cfg = RenderConfig(
         width=res, height=res, spp=spp, estimator=estimator, dot_mode=dot_mode,
         light_sampler="spherical_triangle", max_depth=16, ray_chunk=chunk,
-        seed=0,
+        pixel_jitter=jitter, seed=0,
     )
 
     n_pix = res * res
@@ -138,7 +143,12 @@ def main() -> None:
         # trace + one Arvo prepare per PIXEL per launch; the regen loop
         # handles depth >= 1 only. Same estimate/streams as the plain loop
         # (tests/test_primary_cache.py); BENCH_PRIMARY_CACHE=0 reverts.
-        use_cache = os.environ.get("BENCH_PRIMARY_CACHE", "1") != "0"
+        from monte_carlo_path_tracing_tpu.integrator.regen import (
+            primary_cache_eligible,
+        )
+
+        use_cache = (os.environ.get("BENCH_PRIMARY_CACHE", "1") != "0"
+                     and primary_cache_eligible(cfg))
         if not use_cache and "BENCH_CHUNK" not in os.environ:
             lanes = 1 << 15          # uncached loop's measured optimum
         if use_cache:
@@ -245,7 +255,7 @@ def main() -> None:
     extra = {
         "device": str(dev),
         "backend": jax.default_backend(),
-        "res": res, "spp": spp, "estimator": estimator,
+        "res": res, "spp": spp, "estimator": estimator, "jitter": jitter,
         # headline = best-of-N (each rep is a full render timed to a host
         # materialization); median reported alongside because the bench
         # device's throughput swings ~2x with shared tenancy (ADVICE r3).
