@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""One inverse run recovering ALL FOUR material families (VERDICT r4
+item 8: kd <= 0.06 AND ns_log <= 0.2 in a single committed run).
+
+The r4 artifact (docs/inverse_joint_recovery.json) showed each family
+recovering where its scene provides signal — kd on cornell (diffuse-
+dominated), ks/ns/em on veach (specular-dominated) — but no single run
+recovered both. The bathroom scene closes the gap structurally: nearly
+every material carries BOTH a visible kd (0.15-0.75) and a real specular
+lobe (ks 0.05-0.85, ns 20-8000), so one 4-family joint optimization sees
+signal for every family at once. Same machinery as
+scripts/tpu_inverse_joint.py (identical perturbation, probe, optimizer).
+
+Writes docs/inverse_allfour.json and docs/img/inverse_*_bathroom.png.
+Env: INV_STEPS (1500), INV_RAYS (4096), INV_LR (0.06), INV_WH (64x36),
+INV_SPP (1).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tpu_inverse_joint import run_scene  # noqa: E402
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+OUT = os.path.join(HERE, "docs", "inverse_allfour.json")
+
+
+def main():
+    steps = int(os.environ.get("INV_STEPS", "1500"))
+    rays = int(os.environ.get("INV_RAYS", "4096"))
+    lr = float(os.environ.get("INV_LR", "0.06"))
+    spp = int(os.environ.get("INV_SPP", "1"))
+    wh = os.environ.get("INV_WH", "64x36")
+
+    run = run_scene("bathroom", wh, steps, rays, lr, spp, suffix="_bathroom")
+    kd_final = run["kd"][1]
+    ns_final = run["ns_log"][1]
+    out = {
+        "run": run,
+        "gates": {
+            "kd_mae": kd_final,
+            "ns_log_mae": ns_final,
+            "ks_mae": run["ks"][1],
+            "em_rel": run["em_rel"][1],
+            "pass_kd_0.06_and_nslog_0.2": bool(
+                kd_final <= 0.06 and ns_final <= 0.2),
+        },
+        "why_bathroom": (
+            "nearly every bathroom material carries BOTH kd and a "
+            "specular lobe, so a single joint run has per-family signal "
+            "everywhere — the structural fix for r4's per-scene split "
+            "(kd-only on cornell, ks/ns/em-only on veach)."
+        ),
+        "images": "docs/img/inverse_{target,init,final}_bathroom.png",
+    }
+    print(json.dumps(out["gates"]))
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,21 +84,43 @@ def main():
         excl = jnp.full((N,), -1, jnp.int32)
 
         for mode in ("mxu_fast", "vpu"):
-            near = jax.jit(lambda ro=ro, rd=rd, m=mode: oi.intersect(
-                accel, ro, rd, excl, impl="pallas", mode=m))
-            occl = jax.jit(lambda ro=ro, rd=rd, m=mode: oi.occluded(
-                accel, ro, rd, tmax, excl, impl="pallas", mode=m))
-            np.asarray(near().t)
+            # Per-dispatch tunnel overhead on this platform inflates a
+            # single standalone kernel call ~5-20x (docs/ARCHITECTURE.md
+            # operational caveats), so each timing runs REPS kernel calls
+            # inside ONE jitted fori_loop (ray origins perturbed per
+            # iteration to defeat CSE) and divides.
+            REPS = 8
+
+            @jax.jit
+            def near(m=mode):
+                def body(i, acc):
+                    h = oi.intersect(
+                        accel, ro + 1e-5 * i, rd, excl, impl="pallas", mode=m)
+                    return acc + jnp.sum(jnp.where(h.valid, h.t, 0.0))
+                return jax.lax.fori_loop(
+                    0, REPS, body, jnp.zeros((), jnp.float32))
+
+            @jax.jit
+            def occl(m=mode):
+                def body(i, acc):
+                    b = oi.occluded(
+                        accel, ro + 1e-5 * i, rd, tmax, excl,
+                        impl="pallas", mode=m)
+                    return acc + jnp.sum(b.astype(jnp.float32))
+                return jax.lax.fori_loop(
+                    0, REPS, body, jnp.zeros((), jnp.float32))
+
+            np.asarray(near())
             np.asarray(occl())
             c0 = calib()
             tn = to = 1e9
             for _ in range(5):
                 t0 = time.perf_counter()
-                np.asarray(near().t)
-                tn = min(tn, time.perf_counter() - t0)
+                np.asarray(near())
+                tn = min(tn, (time.perf_counter() - t0) / REPS)
                 t0 = time.perf_counter()
                 np.asarray(occl())
-                to = min(to, time.perf_counter() - t0)
+                to = min(to, (time.perf_counter() - t0) / REPS)
             pairs = N * T
             ops = OPS[mode]
             rows[f"N{N >> 10}k_{mode}"] = {
@@ -129,22 +151,27 @@ def main():
         "per_pair_ops": OPS,
         "rows": rows,
         "interpretation": (
-            "The streamed kernels achieve ~40-50 Gpairs/s (occluded): "
-            "~25% of the modeled VPU peak while using ~10% of the MXU — "
-            "the accept epilogue (margin min-chain + selects + the "
-            "cross-lane reductions) is the bound, as claimed. The "
-            "remaining 4x to the VPU model is instruction-issue reality: "
-            "the epilogue is a serial dependent chain per element "
-            "(sign->mul->min->min->min->select) with two cross-lane "
-            "reductions per tile, none of which dual-issue as pure ALU "
-            "ops. Kernel attacks measured and rejected this round (all "
-            "reproducible via integrator/regen._ABLATE knobs on the "
-            "prepass): (1) bf16 accept margins for occlusion "
-            "(mode=mxu_bf16): framebuffer checksum moved 11% — the "
-            "1-pass bf16 ~0.4%-relative coefficient error flips NEE "
-            "occlusion wholesale because shadow-ray t sits within the "
-            "1e-3 occlusion margin of t_max; REJECTED for correctness "
-            "(and it measured no faster in the culled resident form). "
+            "MEASURED (131k rays, timings amortized over an 8-call "
+            "in-jit kernel loop to cancel the ~27 ms/dispatch tunnel "
+            "overhead): occluded 37-38 Gpairs/s in BOTH dot modes. In "
+            "mode=vpu the kernel's total VPU work (epilogue 21 + "
+            "contraction 80 ops/pair) achieves 0.97 of the modeled VPU "
+            "peak — the kernel IS at its roofline. mxu_fast moves the "
+            "80-op contraction to the MXU (9% of bf16 peak) yet runs the "
+            "SAME wall time with the VPU epilogue at only ~0.2 of peak: "
+            "the bound is the epilogue's serial dependent chain "
+            "(sign->mul->min->min->min->select) plus the per-tile "
+            "cross-lane reductions, which cannot issue faster regardless "
+            "of where the dots run. Conclusion: no kernel-level headroom "
+            "remains at this arithmetic; a win must REDUCE epilogue ops "
+            "or pairs, and the attacks on both were measured and "
+            "rejected this round (reproducible via "
+            "integrator/regen._ABLATE knobs on the prepass): (1) bf16 "
+            "accept margins (mode=mxu_bf16): framebuffer checksum moved "
+            "11% — the 1-pass bf16 ~0.4%-relative coefficient error "
+            "flips NEE occlusion wholesale because shadow-ray t sits "
+            "within the 1e-3 occlusion margin of t_max; REJECTED for "
+            "correctness (and no faster in the culled resident form). "
             "(2) shadow-batch cull OFF: 2.29 s vs 2.19 s prepass — "
             "culling pays. (3) shadow-batch (picked-light, origin-morton) "
             "sort for tighter cull frusta: 2.44 s vs 2.20 s — the "
