@@ -89,6 +89,36 @@ def test_eligibility_validation():
     _cfg(pixel_jitter=True).validate()
 
 
+def test_spp_rounds_clamped_to_cap(cornell_scene):
+    """Traced spp beyond the static spp_cap is CLAMPED (work and the
+    logical ray count agree — round-4 advisor finding: rounds beyond the
+    cap were silently dropped while still counted), and the sharded
+    builder raises when cfg.spp statically exceeds the cap."""
+    import jax.numpy as jnp
+
+    from monte_carlo_path_tracing_tpu.core import rng
+    from monte_carlo_path_tracing_tpu.integrator.regen import primary_prepass
+    from monte_carlo_path_tracing_tpu.parallel import make_mesh
+    from monte_carlo_path_tracing_tpu.parallel.sharded import (
+        make_regen_sharded,
+    )
+
+    s = _small(cornell_scene)
+    cfg = _cfg(spp=4)
+    key = rng.base_key(0)
+    n_pix = 24 * 16
+    out_cap = primary_prepass(s, cfg, key, n_pix, 2, jnp.int32(4))
+    out_ref = primary_prepass(s, cfg, key, n_pix, 2, jnp.int32(2))
+    # clamped run == cap run: same fb, same logical ray count
+    np.testing.assert_allclose(
+        np.asarray(out_cap[0]), np.asarray(out_ref[0]), rtol=1e-6)
+    assert float(out_cap[6]) == float(out_ref[6])
+
+    mesh = make_mesh((1,), ("tiles",))
+    with pytest.raises(ValueError):
+        make_regen_sharded(s, cfg, mesh, 64, spp_cap=2)
+
+
 def test_jitter_falls_back_uncached(cornell_scene):
     """pixel_jitter=True is ineligible: auto must route to the uncached
     loop and still render (smoke)."""
