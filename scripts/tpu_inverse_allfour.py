@@ -39,6 +39,15 @@ def main():
     run = run_scene("bathroom", wh, steps, rays, lr, spp, suffix="_bathroom")
     kd_final = run["kd"][1]
     ns_final = run["ns_log"][1]
+
+    # Coverage-weighted diagnosis: the unweighted per-triangle MAE counts a
+    # never-visible fixture the same as a full-frame wall. Weight each
+    # triangle's error by its primary-hit count from the inverse camera.
+    run["coverage_note"] = (
+        "unweighted per-triangle MAE over masks incl. triangles with ~zero "
+        "frame coverage; see tpu_inverse_joint.py analysis for the same "
+        "effect on veach kd"
+    )
     out = {
         "run": run,
         "gates": {
@@ -48,6 +57,12 @@ def main():
             "em_rel": run["em_rel"][1],
             "pass_kd_0.06_and_nslog_0.2": bool(
                 kd_final <= 0.06 and ns_final <= 0.2),
+            # coverage-weighted counterparts (primary-hit-count weights)
+            "kd_wtd": run["kd_wtd"][1],
+            "ns_log_wtd": run["ns_log_wtd"][1],
+            "ks_wtd": run["ks_wtd"][1],
+            "pass_weighted": bool(
+                run["kd_wtd"][1] <= 0.06 and run["ns_log_wtd"][1] <= 0.2),
         },
         "why_bathroom": (
             "nearly every bathroom material carries BOTH kd and a "

@@ -131,6 +131,27 @@ def run_scene(name, wh, steps, rays, lr, spp, suffix=""):
     lit = np.asarray(m.emission).sum(1) > 0
     vis = (np.asarray(m.kd).sum(1) > 0) & ~lit
     mae = lambda a, b, k: float(np.abs(np.asarray(a) - np.asarray(b))[k].mean())
+
+    # Coverage-weighted MAE: weight each triangle's error by its
+    # primary-hit count from the inverse camera — the unweighted mean
+    # counts a never-visible triangle the same as a full-frame wall (the
+    # r4 analysis showed exactly this flooring veach kd).
+    from monte_carlo_path_tracing_tpu.ops import intersect as oi
+    from monte_carlo_path_tracing_tpu.render.camera import generate_rays as _gr
+
+    idx_all = np.arange(w * h, dtype=np.int32)
+    ro_all, rd_all = _gr(scene.camera, jnp.asarray(idx_all))
+    hit = oi.intersect(oi.build_accel(scene), ro_all, rd_all, impl="matmul")
+    wts = np.zeros(scene.num_tris)
+    tid, okm = np.asarray(hit.tri_id), np.asarray(hit.valid)
+    np.add.at(wts, tid[okm], 1.0)
+
+    def wmae(a, b, k):
+        err = np.abs(np.asarray(a) - np.asarray(b))
+        if err.ndim > 1:
+            err = err.mean(axis=-1)
+        ww = wts * k
+        return float((ww * err).sum() / max(ww.sum(), 1e-9))
     out = {
         "kd": [mae(init.kd, m.kd, vis), mae(r.kd, m.kd, vis)],
         "ks": [mae(init.ks, m.ks, spec), mae(r.ks, m.ks, spec)],
@@ -141,6 +162,15 @@ def run_scene(name, wh, steps, rays, lr, spp, suffix=""):
         "em_rel": [0.5, float((np.abs(
             np.asarray(r.emission).sum(1) - np.asarray(m.emission).sum(1)
         )[lit] / np.asarray(m.emission).sum(1)[lit]).mean())],
+        # coverage-weighted (primary-hit-count) counterparts
+        "kd_wtd": [wmae(init.kd, m.kd, vis), wmae(r.kd, m.kd, vis)],
+        "ks_wtd": [wmae(init.ks, m.ks, spec), wmae(r.ks, m.ks, spec)],
+        "ns_log_wtd": [
+            wmae(np.log(np.maximum(np.asarray(init.ns), 1e-6)),
+                 np.log(np.maximum(np.asarray(m.ns), 1e-6)), spec),
+            wmae(np.log(np.maximum(np.asarray(r.ns), 1e-6)),
+                 np.log(np.maximum(np.asarray(m.ns), 1e-6)), spec),
+        ],
         "grad_probe_at_init": probe,
         "losses_every50": [round(x, 5) for x in res.losses[::50]],
         "loss_tail_mean": round(float(np.mean(res.losses[-100:])), 5),

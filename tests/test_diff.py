@@ -212,3 +212,26 @@ def test_inverse_rendering_joint_four_families(cornell_scene, veach_scene):
     assert v["ks"][1] < 0.43 * v["ks"][0], v["ks"]
     assert v["ns_log"][1] < 0.45 * v["ns_log"][0], v["ns_log"]
     assert v["em_rel"][1] < 0.34 * v["em_rel"][0], v["em_rel"]
+
+
+def test_twoscene_artifact_gates():
+    """The committed one-run all-four-family artifact
+    (scripts/tpu_inverse_twoscene.py, VERDICT r4 item 8) must keep its
+    gates: kd (cornell) <= 0.06 AND ns_log (veach) <= 0.2 from a SINGLE
+    optimization, plus every family improved vs its init error."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "inverse_twoscene.json")
+    with open(path) as f:
+        d = json.load(f)
+    g = d["gates"]
+    assert g["pass_kd_0.06_and_nslog_0.2"] is True
+    assert g["kd_cornell"] <= 0.06
+    assert g["ns_log_veach"] <= 0.2
+    for scene in ("cornell", "veach-mis"):
+        for fam in ("kd", "ks", "ns_log"):
+            init, final = d["scenes"][scene][fam]
+            assert final < init, (scene, fam, init, final)
