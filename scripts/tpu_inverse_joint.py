@@ -142,9 +142,11 @@ def run_scene(name, wh, steps, rays, lr, spp, suffix=""):
     idx_all = np.arange(w * h, dtype=np.int32)
     ro_all, rd_all = _gr(scene.camera, jnp.asarray(idx_all))
     hit = oi.intersect(oi.build_accel(scene), ro_all, rd_all, impl="matmul")
-    wts = np.zeros(scene.num_tris)
+    # materials are a per-MATERIAL table; map triangle hits -> material rows
+    wts = np.zeros(np.asarray(m.kd).shape[0])
     tid, okm = np.asarray(hit.tri_id), np.asarray(hit.valid)
-    np.add.at(wts, tid[okm], 1.0)
+    mat_of_tri = np.asarray(scene.tri_mat_id)
+    np.add.at(wts, mat_of_tri[tid[okm]], 1.0)
 
     def wmae(a, b, k):
         err = np.abs(np.asarray(a) - np.asarray(b))
