@@ -55,9 +55,13 @@ _CHAIN_TAG = 0x5EED_CA1  # arbitrary 32-bit constant
 # end-to-end cost is the timing delta of a full prepass with the knob on
 # (standalone per-op microbenches are tunnel-inflated on this platform —
 # docs/ARCHITECTURE.md). Results are garbage with any knob set; production
-# code never touches this. Knobs: noprimary, noprepare, norngsetup,
-# noargsort, nogather, nopick, nowarp, noshadow, nonee, nobrdf, noseeds,
-# nofb.
+# code never touches this. Prepass knobs: noprimary, noprepare,
+# norngsetup, noargsort, nogather, nopick, nowarp, noshadow, nonee,
+# nobrdf, noseeds, nofb (+ experiments shadowcull_off, shadowsort,
+# shadowbf16). Regen-LOOP knobs (VALUE-path only — the while_loop's
+# masks/iteration count are draw-driven and must stay identical for
+# timing comparability): loop_noarvo, loop_nonee, loop_noshadow,
+# loop_nobrdfeval, loop_nofb.
 _ABLATE: frozenset = frozenset()
 
 
@@ -916,9 +920,28 @@ def render_regen(
             kstep = rng.fold_in(lk_d, rng.P_LIGHT_SELECT)
             if cfg.estimator == EST_MIS:
                 if spherical:
-                    ls, wsum = light_spherical.sample(
-                        kstep, scene, si.p, si.ns, fused=fused_arvo
-                    )
+                    if "loop_noarvo" in _ABLATE:  # profiling hook — the
+                        # loop's control flow (alive masks, iteration
+                        # count) is draw-driven; only VALUE-path knobs are
+                        # timing-comparable, so ls is a constant here.
+                        from monte_carlo_path_tracing_tpu.sampling.light_uniform import (
+                            LightSample,
+                        )
+
+                        ls = LightSample(
+                            coord=si.p + 1.0,
+                            light_idx=jnp.zeros((C,), jnp.int32),
+                            tri_id=jnp.zeros((C,), jnp.int32),
+                            emission=jnp.ones((C, 3)), pdf=jnp.ones((C,)),
+                            valid=jnp.ones((C,), bool),
+                            nl=jnp.broadcast_to(
+                                jnp.array([0.0, -1.0, 0.0]), (C, 3)),
+                        )
+                        wsum = jnp.ones((C,))
+                    else:
+                        ls, wsum = light_spherical.sample(
+                            kstep, scene, si.p, si.ns, fused=fused_arvo
+                        )
                 else:
                     ls = light_uniform.sample(kstep, scene, C)
                     wsum = jnp.zeros((C,))
@@ -929,9 +952,15 @@ def render_regen(
                     )
                     L = L + tp * nee
                     chain_tp = tp * w_chain
+                elif "loop_nonee" in _ABLATE:  # profiling hook
+                    pass
                 else:
                     L = L + tp * _nee_term(
-                        scene, cfg, accel, si, ls, wsum, cont, cull=loop_cull
+                        scene, cfg, accel, si, ls, wsum, cont, cull=loop_cull,
+                        blocked=(
+                            jnp.zeros((C,), bool)
+                            if "loop_noshadow" in _ABLATE else None
+                        ),
                     )
             else:
                 ls, wsum_ = _sample_light(kstep, scene, cfg, si)
@@ -981,7 +1010,10 @@ def render_regen(
                 )
             denom = _SG(jnp.maximum(bs.pdf + p_al, 1e-12))
 
-        f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
+        if "loop_nobrdfeval" in _ABLATE:  # profiling hook (masks intact)
+            f = jnp.ones((C, 3))
+        else:
+            f = phong.eval_brdf(si.ns, bs.wi, si.wo, si.kd, si.ks, si.ns_exp)
         scale = jnp.maximum(cos_i, 0.0) / denom * tp_rr
         tp = jnp.where(cont[:, None], tp * f * scale[:, None], tp)
 
@@ -999,12 +1031,15 @@ def render_regen(
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
         tgt = jnp.where(died, st["pixel"], n_pix + lane_ids)
         Lz = jnp.where(died[:, None], L, 0.0)
-        fb = (
-            st["fb"]
-            .at[tgt, 0].add(Lz[:, 0])
-            .at[tgt, 1].add(Lz[:, 1])
-            .at[tgt, 2].add(Lz[:, 2])
-        )
+        if "loop_nofb" in _ABLATE:  # profiling hook
+            fb = st["fb"]
+        else:
+            fb = (
+                st["fb"]
+                .at[tgt, 0].add(Lz[:, 0])
+                .at[tgt, 1].add(Lz[:, 1])
+                .at[tgt, 2].add(Lz[:, 2])
+            )
 
         free = died | ~alive            # dead now, or idle from before
 
