@@ -64,11 +64,19 @@ def main():
             "pass_weighted": bool(
                 run["kd_wtd"][1] <= 0.06 and run["ns_log_wtd"][1] <= 0.2),
         },
-        "why_bathroom": (
-            "nearly every bathroom material carries BOTH kd and a "
-            "specular lobe, so a single joint run has per-family signal "
-            "everywhere — the structural fix for r4's per-scene split "
-            "(kd-only on cornell, ks/ns/em-only on veach)."
+        "outcome_note": (
+            "bathroom materials carry BOTH kd and a specular lobe, and "
+            "the run recovers kd (0.036 unweighted / 0.023 coverage-"
+            "weighted), emission (0.038) and improves ks (0.148 -> "
+            "0.103), but ns does not move at this budget: the scene's "
+            "Phong exponents run 200-8000, whose highlight lobes are "
+            "millisteradian-rare in a 96x54 depth-3 crop — the ns latent "
+            "gradient is noise-dominated (compare the r4 SNR analysis). "
+            "The PASSING single-run all-four artifact is the two-scene "
+            "summed-loss run (docs/inverse_twoscene.json: kd 0.011, "
+            "ns_log 0.096, ks 0.045, em 0.004/0.020); this file records "
+            "the honest single-scene attempt and its coverage-weighted "
+            "diagnosis."
         ),
         "images": "docs/img/inverse_{target,init,final}_bathroom.png",
     }
