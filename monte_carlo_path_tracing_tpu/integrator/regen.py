@@ -1031,14 +1031,16 @@ def render_regen(
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
         tgt = jnp.where(died, st["pixel"], n_pix + lane_ids)
         Lz = jnp.where(died[:, None], L, 0.0)
+        # Framebuffer as THREE 1-D arrays: a [n,3] loop-carried buffer is
+        # lane-padded to 128 physical lanes, and even per-channel COLUMN
+        # scatters into it pay that layout (~1.8 s of the spp-8 bench,
+        # docs/tpu_loop_budget_r5.json "loop_nofb"); true 1-D scatters
+        # don't.
         if "loop_nofb" in _ABLATE:  # profiling hook
-            fb = st["fb"]
+            fb = (st["fb0"], st["fb1"], st["fb2"])
         else:
-            fb = (
-                st["fb"]
-                .at[tgt, 0].add(Lz[:, 0])
-                .at[tgt, 1].add(Lz[:, 1])
-                .at[tgt, 2].add(Lz[:, 2])
+            fb = tuple(
+                st["fb" + str(i)].at[tgt].add(Lz[:, i]) for i in range(3)
             )
 
         free = died | ~alive            # dead now, or idle from before
@@ -1150,7 +1152,7 @@ def render_regen(
             "prev_ns": jnp.where(take[:, None], ns_new, si.ns),
             "prev_w": jnp.where(take, wsum_new, wsum),
             "counter": st["counter"] + n_taken,
-            "fb": fb,
+            "fb0": fb[0], "fb1": fb[1], "fb2": fb[2],
             "nrays": nrays,
             "iter": st["iter"] + 1,
         })
@@ -1172,10 +1174,13 @@ def render_regen(
         "prev_ns": jnp.concatenate([jnp.zeros((C, 2)), jnp.ones((C, 1))], axis=1),
         "prev_w": jnp.zeros((C,)),
         "counter": jnp.zeros((), jnp.int32),
-        "fb": (
-            jnp.concatenate([fb_pre, jnp.zeros((C, 3))], axis=0)
-            if seeded else jnp.zeros((n_pix + C, 3))
-        ),
+        **{
+            f"fb{i}": (
+                jnp.concatenate([fb_pre[:, i], jnp.zeros((C,))])
+                if seeded else jnp.zeros((n_pix + C,))
+            )
+            for i in range(3)
+        },
         "nrays": jnp.zeros((), jnp.float32),
         "iter": jnp.zeros((), jnp.int32),
     }
@@ -1198,4 +1203,7 @@ def render_regen(
         spilled=st["spilled"] if blocker else zero,
         chains=st["chain_counter"] if blocker else zero,
     )
-    return st["fb"][:n_pix], st["nrays"], st["iter"], stats
+    fb_out = jnp.stack(
+        [st["fb0"][:n_pix], st["fb1"][:n_pix], st["fb2"][:n_pix]], axis=1
+    )
+    return fb_out, st["nrays"], st["iter"], stats
