@@ -17,8 +17,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("cache", ["1", "0"])
-def test_bench_script_contract(cache):
+@pytest.mark.parametrize("cache,jitter", [("1", "0"), ("0", "0"), ("1", "1")])
+def test_bench_script_contract(cache, jitter):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)   # keep the TPU plugin out
     env.pop("XLA_FLAGS", None)              # single device: the branch the
@@ -28,6 +28,7 @@ def test_bench_script_contract(cache):
         BENCH_RES="32", BENCH_SPP="2", BENCH_CHUNK="256",
         BENCH_REPS="1", BENCH_REP_SPACING_S="0",
         BENCH_PRIMARY_CACHE=cache,
+        BENCH_JITTER=jitter,   # jitter row: cache auto-ineligible
         BENCH_SCENE=os.path.join(_REPO, "scenes", "cornell", "cornell.obj"),
     )
     out = subprocess.run(
@@ -43,5 +44,9 @@ def test_bench_script_contract(cache):
     assert extra, out.stderr[-2000:]
     e = json.loads(extra[-1][2:])
     assert e["total_rays"] > 0 and e["fb_checksum"] > 0
-    if cache == "1":
+    if cache == "1" and jitter == "0":
         assert e["rays_physical"] < e["total_rays"]
+    if jitter == "1":
+        # jitter forfeits the cache: every logical ray physically traced
+        assert e["jitter"] is True
+        assert e["rays_physical"] == e["total_rays"]
